@@ -1,0 +1,59 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datums_warehouse_spark import all_queries
+from datums_warehouse_spark.session import get_spark
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "a8_candles_1h",
+    "x1_resample_1h_to_1d",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers with the cheapest query once
+    qs[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

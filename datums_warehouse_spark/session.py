@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the local test harness.
+
+The engine itself is scale-agnostic: the same plans run on a 1000-executor
+cluster. These configs only pin the local-mode knobs (shuffle partition
+count, Arrow transfers, UTC session time) so results are deterministic and
+comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def get_spark(app_name: str = "datums-warehouse-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - AQE on: runtime coalescing + skew-join handling — the same settings we
+      would ship at cluster scale.
+    - ``spark.sql.shuffle.partitions`` starts at 2×cores locally; AQE
+      coalesces down. On a real cluster this would be sized to data volume.
+    - Session timezone pinned to UTC so timestamp semantics match the DuckDB
+      oracle (naive timestamps throughout the testdata).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(8, int(cpus))))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert (sources.tables.events_us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
