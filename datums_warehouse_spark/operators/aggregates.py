@@ -1,1 +1,256 @@
-"""Placeholder — operators land in this module."""
+"""Aggregation operators (SURVEY.md §2.4 A1–A11, minus A8 in candles.py).
+
+All hash aggregations with map-side partial aggregation — the plan shape
+that scales linearly with executors. Float-valued aggregates route through
+``functions.determinism`` so results are bit-identical across runs and
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us, load
+
+
+@query(
+    "a1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity")} AS sum_qty,
+               {sql_dsum("l_extendedprice")} AS sum_base_price,
+               {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+               {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+               {sql_davg("l_quantity")} AS avg_qty,
+               {sql_davg("l_extendedprice")} AS avg_price,
+               {sql_davg("l_discount")} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1",),
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical multi-aggregate hash group-by."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "a2_global_cursor",
+    oracle="""
+        SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n
+        FROM events
+    """,
+    tags=("A2",),
+)
+def a2_global_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global no-group aggregate — the reference's incremental-update cursor
+    (read stored max(ts), fetch newer; SURVEY.md §2.1 S5 [R])."""
+    e = events_us(spark, sf_dir)
+    return e.agg(
+        F.max("ts").alias("max_ts"), F.min("ts").alias("min_ts"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "a3_count_distinct",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT date_trunc('day', ts)) AS n_active_days
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("A3",),
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
+    e = events_us(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_active_days"),
+    )
+
+
+@query("a4_approx_count_distinct", tags=("A4",))
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (rows-only: sketches aren't cross-engine).
+
+    The 100 TB path for cardinality estimation — one pass, fixed memory,
+    no shuffle of distinct values (SURVEY.md §2.4 A4).
+    """
+    e = events_us(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+    )
+
+
+@query(
+    "a5_rollup",
+    oracle=f"""
+        SELECT year(o_orderdate) AS order_year, o_orderpriority,
+               count(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+    tags=("A5",),
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (year, priority) → (year) → () subtotal levels."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "a5_cube",
+    oracle=f"""
+        SELECT c_mktsegment, o_orderstatus,
+               count(*) AS n_orders,
+               {sql_davg("o_totalprice")} AS avg_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+    tags=("A5",),
+)
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims of the customer⋈orders join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), davg("o_totalprice").alias("avg_price"))
+    )
+
+
+@query(
+    "a6_having",
+    oracle=f"""
+        SELECT o_custkey, count(*) AS n_orders, {sql_dsum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 8 AND {sql_dsum("o_totalprice")} > 1500000
+    """,
+    tags=("A6",),
+)
+def a6_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .filter((F.col("n_orders") >= 8) & (F.col("total") > 1_500_000))
+    )
+
+
+@query(
+    "a7_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("A7",),
+)
+def a7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT rows — the reference dedups re-fetched candles the
+    same way (by key), SURVEY.md §2.4 A7 [R]."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "a9_pivot",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("A9",),
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-day count columns.
+
+    The pivot value list is explicit — at scale an implicit pivot triggers
+    an extra distinct-values job.
+    """
+    e = events_us(spark, sf_dir)
+    piv = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select("day", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES])
+
+
+@query(
+    "a10_stats",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(stddev_samp(value), 6) AS sd,
+               min(value) AS vmin,
+               max(value) AS vmax
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("A10",),
+)
+def a10_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + stddev — the reference's series-validation stats
+    (SURVEY.md §2.4 A10 [R]). Rounded to 6dp: interpolation/variance
+    accumulation differs in final ulps across engines."""
+    e = events_us(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "a11_collect_list",
+    oracle="""
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types,
+               count(*) AS n
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("A11",),
+)
+def a11_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set into a sorted array (sorted for determinism — raw
+    collect order is partition-dependent)."""
+    e = events_us(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,1 +1,317 @@
-"""Placeholder — operators land in this module."""
+"""Join operators (SURVEY.md §2.3 J1–J10).
+
+Join-strategy discipline for 100 TB:
+
+- Dimensions (region/nation/customer at warehouse scale) are explicitly
+  ``F.broadcast`` so the plan is a BroadcastHashJoin regardless of stats.
+- Fact⋈fact joins shuffle on their equi-keys (SortMergeJoin / ShuffledHash
+  under AQE); keys here (orderkey) are uniform so no salting needed —
+  AQE skew-join handles residual skew.
+- The range join (J8) broadcasts the *small derived dimension* (one row per
+  day) so the non-equi condition is a broadcast nested-loop over a 30-row
+  build side, not an O(n²) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us, load
+
+REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "j1_broadcast_dim_join",
+    oracle=f"""
+        SELECT r_name,
+               count(*) AS n_customers,
+               {sql_davg("c_acctbal")} AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("J1",),
+)
+def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim broadcast joins: customer ⋈ nation ⋈ region.
+
+    Both dims are broadcast — zero shuffle until the final aggregation.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), davg("c_acctbal").alias("avg_acctbal"))
+    )
+
+
+@query(
+    "j2_shuffle_fact_join",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               {sql_dsum(SQL_REVENUE)} AS revenue
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("J2",),
+)
+def j2_shuffle_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join (orders ⋈ lineitem) — shuffles on orderkey."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(REVENUE).alias("revenue"))
+    )
+
+
+@query(
+    "j3_star_join",
+    oracle=f"""
+        SELECT n_name, {sql_dsum(SQL_REVENUE)} AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    tags=("J3",),
+)
+def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): revenue per nation in ASIA, 1996.
+
+    region/nation broadcast; customer broadcast at this scale (at 100 TB it
+    would shuffle, which Catalyst decides from stats — the declared plan is
+    identical). Date filter pushed to the orders scan.
+    """
+    r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(dsum(REVENUE).alias("revenue"))
+    )
+
+
+@query(
+    "j4_left_outer_custdist",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("J4",),
+)
+def j4_left_outer_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (TPC-H Q13 shape)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "j4_full_outer_daily",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT date_trunc('day', ts) AS day, {sql_dsum("value")} AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ), purchases AS (
+            SELECT date_trunc('day', ts) AS day, {sql_dsum("value")} AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT coalesce(clicks.day, purchases.day) AS day,
+               coalesce(click_value, 0.0) AS click_value,
+               coalesce(purchase_value, 0.0) AS purchase_value
+        FROM clicks FULL OUTER JOIN purchases ON clicks.day = purchases.day
+    """,
+    tags=("J4",),
+)
+def j4_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two daily aggregates (either side may miss days)."""
+    e = events_us(spark, sf_dir)
+
+    def daily(kind: str, alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == kind)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(dsum("value").alias(alias))
+        )
+
+    clicks, purchases = daily("click", "click_value"), daily("purchase", "purchase_value")
+    return clicks.join(purchases, "day", "full").select(
+        "day",
+        F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+@query(
+    "j5_semi_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        )
+        GROUP BY c_mktsegment
+    """,
+    tags=("J5",),
+)
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j6_anti_join",
+    oracle="""
+        SELECT n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        GROUP BY n_name
+    """,
+    tags=("J6",),
+)
+def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent order, per nation — the same
+    shape as the reference's gap detection (which timestamps are missing)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "j7_cross_join",
+    oracle="""
+        SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+    tags=("J7",),
+)
+def j7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small sets (the dense-grid builder)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    statuses = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(statuses)
+
+
+@query(
+    "j8_range_join",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, {sql_davg("value")} AS day_avg
+            FROM events GROUP BY 1
+        )
+        SELECT day, count(*) AS n_above,
+               {sql_dsum("value")} AS value_above
+        FROM events JOIN daily
+          ON ts >= day AND ts < day + INTERVAL 1 DAY AND value > day_avg
+        GROUP BY day
+    """,
+    tags=("J8",),
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: events matched to their day's window by inequality,
+    keeping only above-average values.
+
+    The derived per-day dimension is tiny, so we broadcast it and let the
+    non-equi predicate run as a BroadcastNestedLoopJoin — the scale-safe
+    shape for interval joins when one side is small. (At 100 TB with a
+    large build side we'd bucket both sides by coarse time and equi-join
+    the bucket first.)
+    """
+    e = events_us(spark, sf_dir)
+    daily = F.broadcast(
+        e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(davg("value").alias("day_avg"))
+    )
+    cond = (
+        (e.ts >= daily.day)
+        & (e.ts < daily.day + F.expr("INTERVAL 1 DAY"))
+        & (e.value > daily.day_avg)
+    )
+    return (
+        e.join(daily, cond)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_above"), dsum("value").alias("value_above"))
+    )
+
+
+@query(
+    "j10_self_join_funnel",
+    oracle="""
+        SELECT a.user_id AS user_id, count(*) AS n_pairs
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND date_trunc('day', a.ts) = date_trunc('day', b.ts)
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND a.ts < b.ts
+        GROUP BY a.user_id
+    """,
+    tags=("J10",),
+)
+def j10_self_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join funnel: click→purchase pairs per user within a day."""
+    e = events_us(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "click").alias("a")
+    b = e.filter(F.col("event_type") == "purchase").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.date_trunc("day", F.col("a.ts")) == F.date_trunc("day", F.col("b.ts")))
+        & (F.col("a.ts") < F.col("b.ts"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,1 +1,160 @@
-"""Placeholder — operators land in this module."""
+"""Sort / limit / top-k (SURVEY.md §2.6 O1–O4) and set ops (§2.7 U1–U4).
+
+Order itself isn't graded (the driver's hash is order-insensitive), but
+LIMIT/OFFSET queries sort on a unique total key so both engines select the
+same rows. ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+a per-partition heap + driver merge, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us, load
+
+
+@query(
+    "o1_global_sort",
+    oracle="SELECT event_id, ts, event_type, value FROM events ORDER BY ts",
+    tags=("O1",),
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global time-ordered output — the reference's REST response order
+    (range-partitioned SortExec in Spark)."""
+    e = events_us(spark, sf_dir)
+    return e.select("event_id", "ts", "event_type", "value").orderBy("ts")
+
+
+@query(
+    "o2_multikey_sort",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey
+    """,
+    tags=("O2",),
+)
+def o2_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit direction and null placement."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy(
+        F.col("o_orderstatus").asc(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@query(
+    "o3_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100 OFFSET 10
+    """,
+    tags=("O3",),
+)
+def o3_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: rows 11–110 of the price-ranked orders. The sort key
+    includes the unique o_orderkey so the page is engine-independent."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(100)
+    )
+
+
+@query(
+    "o4_topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("O4",),
+)
+def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit → TakeOrderedAndProject (no global sort)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "u1_union_all",
+    oracle="""
+        SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U1",),
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — the reference's append-new-batch-to-series step [R]."""
+    e = events_us(spark, sf_dir).select("event_id", "event_type", "value")
+    return e.filter(F.col("event_type") == "click").unionByName(
+        e.filter(F.col("event_type") == "purchase")
+    )
+
+
+@query(
+    "u2_union_distinct",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U2",),
+)
+def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics."""
+    e = events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.union(buys).distinct()
+
+
+@query(
+    "u3_intersect",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'error'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U3",),
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): users who both errored and purchased."""
+    e = events_us(spark, sf_dir)
+    errs = e.filter(F.col("event_type") == "error").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return errs.intersect(buys)
+
+
+@query(
+    "u4_except",
+    oracle="""
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U4",),
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): user-days with views but no purchase — the
+    expected-minus-present shape the reference uses for gap detection [R]."""
+    e = events_us(spark, sf_dir)
+    day = F.date_trunc("day", "ts").alias("day")
+    views = e.filter(F.col("event_type") == "view").select("user_id", day)
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return views.subtract(buys)
