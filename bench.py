@@ -19,8 +19,18 @@ from datums_warehouse_spark.session import get_spark
 
 # Headline set: the flagship + one representative per operator family.
 HEADLINE = [
-    "a8_candles_1h",
-    "x1_resample_1h_to_1d",
+    "a8_candles_1h",          # flagship OHLCV aggregation
+    "x1_resample_1h_to_1d",   # candle resample
+    "a1_pricing_summary",     # TPC-H Q1 heavy scan+agg
+    "j3_star_join",           # multi-way star join
+    "j2_shuffle_fact_join",   # fact-fact shuffle join
+    "w3_running_total",       # keyed window scan
+    "x3_interpolate_linear",  # grid + interpolation
+    "j9_asof_join",           # as-of join
+    "l2_minhash_lsh_pairs",   # shingle/minhash/LSH dedup
+    "l3_cosine_topk",         # vector similarity
+    "l6_tfidf",               # text pipeline
+    "t3_session_window",      # sessionization
 ]
 
 

@@ -26,29 +26,31 @@ from pyspark.sql import functions as F
 # Wide enough for sf0.1 sums (~6e9) with big headroom; scale 6 puts the
 # rounding boundary far below data resolution.
 DEC = "decimal(25,6)"
+# High-scale variant for small-magnitude values (embedding components).
+DEC12 = "decimal(30,12)"
 
 
-def dsum(col: Column | str) -> Column:
+def dsum(col: Column | str, dec: str = DEC) -> Column:
     """Order-independent SUM over doubles; returns DoubleType."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(c.cast(dec)).cast("double")
 
 
-def davg(col: Column | str) -> Column:
+def davg(col: Column | str, dec: str = DEC) -> Column:
     """Order-independent AVG over doubles; returns DoubleType.
 
     Exact decimal sum divided by count as a double — both engines perform
     the identical double division.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return F.sum(c.cast(dec)).cast("double") / F.count(c)
 
 
-def sql_dsum(expr: str) -> str:
+def sql_dsum(expr: str, dec: str = "DECIMAL(25,6)") -> str:
     """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE)"
 
 
-def sql_davg(expr: str) -> str:
+def sql_davg(expr: str, dec: str = "DECIMAL(25,6)") -> str:
     """DuckDB oracle twin of :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(SUM(CAST({expr} AS {dec})) AS DOUBLE) / COUNT({expr})"

@@ -1,1 +1,283 @@
-"""Placeholder — operators land in this module."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11).
+
+Exact (hash group-by), MinHash+LSH (shingle → minhash → band bucket →
+candidate join → Jaccard verify), and SimHash near-dup — all pure DataFrame
+pipelines over cross-engine-portable integer hashing (functions/hashing.py),
+so every stage is graded against the DuckDB oracle, not just smoke-checked.
+
+Scale shape: shingling explodes ~Ntokens rows per doc, minhash reduces back
+to one row per doc (map-side combinable min), the LSH band join only pairs
+docs sharing a bucket — never an all-pairs product. That's the 100 TB path;
+the Jaccard verify join touches candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.functions.hashing import (
+    MINHASH_AS,
+    MINHASH_BS,
+    MINHASH_P,
+    hash48,
+    minhash_expr,
+    sql_hash48,
+)
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import load
+
+N_HASHES = 8
+N_BANDS = 4  # 4 bands × 2 rows
+
+# --- shared shingle pipeline -------------------------------------------------
+
+SQL_SHINGLES = """
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i + 1] || ' ' ||
+                        string_split(text, ' ')[i + 2] || ' ' ||
+                        string_split(text, ' ')[i + 3]
+               )) AS shingle
+        FROM documents
+    )
+"""
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+    )
+    return (
+        docs.select("doc_id", F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """One row per doc with N_HASHES minhash columns mh0..mh7."""
+    h = hash48("shingle")
+    aggs = [
+        F.min((F.lit(MINHASH_AS[i]) * h + F.lit(MINHASH_BS[i])) % F.lit(MINHASH_P)).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_SIGNATURES = f"""
+    SELECT doc_id,
+           {", ".join(
+               f"min({minhash_expr(i, sql_hash48('shingle'))}) AS mh{i}"
+               for i in range(N_HASHES)
+           )}
+    FROM ({SQL_SHINGLES})
+    GROUP BY doc_id
+"""
+
+# --- L1: exact dedup ---------------------------------------------------------
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    tags=("L1",),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per content hash.
+
+    At scale this is one shuffle on the 128-bit hash — no text comparison;
+    the testdata is dup-free so survivors == all docs (count-preserving,
+    FIXTURES.md).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+@query(
+    "l1_dedup_stats",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct,
+               count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+        FROM documents
+    """,
+    tags=("L1",),
+)
+def l1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dup accounting (one row)."""
+    d = load(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("content_hash")).alias("n_dup_rows"),
+    )
+
+
+# --- L2: MinHash + LSH near-dup ----------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "l2_minhash_lsh_pairs",
+    oracle=f"""
+        WITH sh AS ({SQL_SHINGLES}),
+        sigs AS ({SQL_SIGNATURES.replace(SQL_SHINGLES, "SELECT * FROM sh")}),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, concat(mh{2*b}, '_', mh{2*b+1}) AS sig FROM sigs"
+                for b in range(N_BANDS)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                     AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS ni
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("L2",),
+)
+def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+
+    shingle → 8 portable minhashes → 4 LSH bands → bucket self-join →
+    Jaccard ≥ 0.5 verify on candidates only. Hand-rolled (not MLlib
+    MinHashLSH) so the arithmetic is deterministic integer math that the
+    oracle reproduces exactly (SURVEY.md §4.3.3).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    sigs = minhash_signatures(sh)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "l2_simhash",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ) GROUP BY doc_id, tok
+        ),
+        bits AS (
+            SELECT doc_id, i,
+                   SUM(cnt * (2 * ((h >> i) & 1) - 1)) AS s
+            FROM (SELECT doc_id, cnt, {sql_hash48("tok")} AS h FROM toks)
+            CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS i)
+            GROUP BY doc_id, i
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1 << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id
+    """,
+    tags=("L2",),
+)
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash fingerprint per document.
+
+    Per-bit majority vote over token hashes weighted by term frequency,
+    then bit assembly — two hash aggregations, no all-pairs stage;
+    integer-exact cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", hash48("tok"))
+    )
+    bit_idx = F.broadcast(spark.range(SIMHASH_BITS).select(F.col("id").alias("i")))
+    bits = (
+        toks.join(bit_idx)
+        .withColumn("bit", F.expr("(h >> CAST(i AS INT)) & 1"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.col("cnt") * (2 * F.col("bit") - 1)).alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << CAST(i AS INT)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )

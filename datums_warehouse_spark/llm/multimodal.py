@@ -1,1 +1,97 @@
-"""Placeholder — operators land in this module."""
+"""Multimodal column plumbing (SURVEY.md §2.11 L9).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata — parquet stores them natively, partitioning and predicate
+pushdown work on the metadata, and feature extraction runs as
+Arrow-batched ``mapInPandas``. The testdata has no media files, so the
+payload is the utf-8 document text standing in for bytes; the *decode*
+step is a deterministic stub (a real deployment drops in PIL/ffmpeg inside
+the same UDF — the container lacks those libs). The Spark-side plumbing —
+schema, batch iteration, UDF signature — is real and graded where
+SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import load
+
+
+@query(
+    "l9_binary_columns",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5,
+               lang AS media_kind
+        FROM documents
+    """,
+    tags=("L9",),
+)
+def l9_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata, graded on byte length and
+    content hash through the BinaryType representation."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.col("lang").alias("media_kind"),
+    )
+
+
+FEATURE_DIM = 8
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, features array<double>, decode_status string"
+)
+
+
+@query("l9_multimodal_features", tags=("L9",))
+def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``
+    (rows-only: the extractor is Python-side by design — that's the point
+    of the operator). Partition-parallel, Arrow transfer, fixed output
+    schema; swap the stub for a real decoder without touching the plan."""
+    feature_dim = FEATURE_DIM
+
+    # Defined inside the query fn so cloudpickle ships it BY VALUE —
+    # executor Python workers don't have this package on their PYTHONPATH.
+    def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Arrow-batched feature extractor over binary payloads.
+
+        STUB DECODE: a real pipeline would decode the media here
+        (PIL/librosa/ffmpeg — not in this container). The stub derives a
+        deterministic byte-histogram feature so the distributed plumbing
+        (batch shapes, schema, null handling) is exercised for real.
+        """
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((doc_id, 0, None, "missing"))
+                    continue
+                buckets = [0] * feature_dim
+                for b in payload:
+                    buckets[b % feature_dim] += 1
+                n = len(payload)
+                rows.append(
+                    (doc_id, n, [c / n for c in buckets] if n else None, "stub_decoded")
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "features", "decode_status"]
+            )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)

@@ -1,1 +1,248 @@
-"""Placeholder — operators land in this module."""
+"""Text analysis for training-data pipelines (SURVEY.md §2.11 L5–L8 plus
+language-ID, quality scoring, token counting, and fingerprinting).
+
+Everything is split/explode/aggregate over built-in functions — the token
+explosion is the only row multiplier and it reduces immediately into hash
+aggregates, so corpus size scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.functions.determinism import davg, sql_davg
+from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
+from datums_warehouse_spark.llm.dedup import SQL_SHINGLES, shingles
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import load
+
+def TOKS():
+    # built lazily: Column construction needs an active SparkContext
+    return F.split("text", " ")
+
+EN_STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+
+
+@query(
+    "l5_word_count",
+    oracle="""
+        SELECT tok AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    """,
+    tags=("L5",),
+)
+def l5_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic word count: split → explode → hash aggregate."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(TOKS()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_total"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "l6_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+        df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT tf.doc_id AS doc_id, tf.word AS word,
+               round(tf * ln((CAST(n AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    """,
+    tags=("L6",),
+)
+def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, DataFrame-native: term counts ⋈ document frequencies ⋈ N.
+
+    Both idf inputs are exact integers, so the single ``ln`` per (doc,term)
+    stays within the 6dp rounding guard cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TOKS()).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    idf = F.log((F.lit(float(n)) + 1) / (F.col("df").cast("double") + 1))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select("doc_id", "word", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+
+
+@query(
+    "l7_bigrams",
+    oracle="""
+        SELECT bigram, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                range(len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]
+            )) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+    """,
+    tags=("L7",),
+)
+def l7_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts via an index-transform over the token array
+    (no self-join, no window — one explode then one aggregate)."""
+    d = load(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(0), F.size(TOKS()) - 2)
+    bigram = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(TOKS(), i + 1), F.element_at(TOKS(), i + 2))
+    )
+    return (
+        d.select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "l8_lang_stats",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               {sql_davg("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("L8",),
+)
+def l8_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+SQL_STOP_RATIO = f"""
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN {SQL_STOPLIST})) AS DOUBLE)
+    / len(string_split(text, ' '))
+"""
+
+
+@query(
+    "l11_language_id",
+    oracle=f"""
+        SELECT doc_id,
+               round({SQL_STOP_RATIO}, 6) AS stop_ratio,
+               CASE WHEN {SQL_STOP_RATIO} >= 0.15 THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM documents
+    """,
+    tags=("L11",),
+)
+def l11_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English-stopword ratio ≥ 0.15 → 'en'.
+
+    The n-gram-heuristic shape of a real lang-ID pass; pure array ops.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_stop = F.size(F.filter(TOKS(), lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = n_stop.cast("double") / F.size(TOKS())
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.15, "en").otherwise("unk").alias("lang_pred"),
+    )
+
+
+@query(
+    "l12_quality_score",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS distinct_ratio,
+               round(CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+                     * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' '))), 6) AS quality
+        FROM documents
+    """,
+    tags=("L12",),
+)
+def l12_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length saturation × lexical diversity —
+    the filter-stage heuristic of a data pipeline, all exact arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(TOKS())
+    n_uniq = F.size(F.array_distinct(TOKS()))
+    distinct_ratio = n_uniq.cast("double") / n_tok
+    avg_tok_len = (F.col("n_chars") - n_tok + 1).cast("double") / n_tok
+    quality = F.least(n_tok.cast("double") / 50, F.lit(1.0)) * distinct_ratio
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        "n_chars",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "l13_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                   AS bpe_ish_tokens
+        FROM documents
+    """,
+    tags=("L13",),
+)
+def l13_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / other) — the cost-estimation primitive."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TOKS()).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@query(
+    "l14_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               min({sql_hash48("shingle")}) AS fp_min,
+               max({sql_hash48("shingle")}) AS fp_max,
+               count(*) AS n_shingles
+        FROM ({SQL_SHINGLES})
+        GROUP BY doc_id
+    """,
+    tags=("L14",),
+)
+def l14_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min/max 3-gram shingle hash (winnowing-lite) —
+    a compact content signature for fast prefiltering."""
+    sh = shingles(load(spark, sf_dir, "documents")).withColumn("h", hash48("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

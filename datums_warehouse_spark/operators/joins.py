@@ -21,8 +21,12 @@ from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, s
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us, load
 
-REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def REVENUE():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @query(
@@ -73,7 +77,7 @@ def j2_shuffle_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(REVENUE).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(REVENUE()).alias("revenue"))
     )
 
 
@@ -113,7 +117,7 @@ def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("n_name")
-        .agg(dsum(REVENUE).alias("revenue"))
+        .agg(dsum(REVENUE()).alias("revenue"))
     )
 
 

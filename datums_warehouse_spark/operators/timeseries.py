@@ -1,1 +1,330 @@
-"""Placeholder — operators land in this module."""
+"""Time-series operators — the reference engine's identity (SURVEY.md §2.10).
+
+The reference validates each stored series (gaps, monotonicity, dup
+timestamps), interpolates missing candles, and updates incrementally from
+the last stored timestamp [R — reference checkout empty, SURVEY.md §0].
+Here each of those becomes a declarative plan:
+
+- gap detection  = dense grid (sequence+explode) ⟕̸ present buckets (anti join)
+- interpolation  = grid ⟕ candles, then two keyed window scans (carry
+  prev/next non-null) + exact linear blend
+- as-of join     = union-tag + one keyed window scan (no per-row lookup
+  loop, no range explosion) — the scalable as-of shape
+- incremental    = filter against the stored max-ts cursor
+
+Every window partitions by series/user — never a global orderBy — so the
+same plans hold at 100 TB (SURVEY.md §4.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us
+
+# Hourly close per series — the candle column used by interpolation/returns.
+SQL_HOURLY_CLOSE = """
+    SELECT event_type AS series,
+           date_trunc('hour', ts) AS bucket,
+           arg_max(value, ts) AS close
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_us(spark, sf_dir)
+    return e.groupBy(
+        F.col("event_type").alias("series"), F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", "ts").alias("close"))
+
+
+def _grid(df: DataFrame) -> DataFrame:
+    """Dense hourly grid per series spanning [min(bucket), max(bucket)]."""
+    bounds = df.groupBy("series").agg(F.min("bucket").alias("h0"), F.max("bucket").alias("h1"))
+    return bounds.select(
+        "series",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+
+
+@query(
+    "x2_gap_detection",
+    oracle=f"""
+        WITH hourly AS ({SQL_HOURLY_CLOSE}),
+        bounds AS (
+            SELECT series, min(bucket) AS h0, max(bucket) AS h1 FROM hourly GROUP BY series
+        ),
+        grid AS (
+            SELECT series, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        )
+        SELECT series, bucket FROM grid g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hourly h WHERE h.series = g.series AND h.bucket = g.bucket
+        )
+    """,
+    tags=("X2",),
+)
+def x2_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing hourly buckets per series: expected grid ∖ present buckets.
+
+    The reference walks each series row-by-row comparing successive
+    timestamps [R]; here it's sequence→explode→left_anti — both sides
+    partition on (series), so the anti join co-locates without skew.
+    """
+    hourly = _hourly_close(spark, sf_dir)
+    return _grid(hourly).join(hourly, ["series", "bucket"], "left_anti")
+
+
+@query(
+    "x3_interpolate_linear",
+    oracle=f"""
+        WITH hourly AS ({SQL_HOURLY_CLOSE}),
+        bounds AS (
+            SELECT series, min(bucket) AS h0, max(bucket) AS h1 FROM hourly GROUP BY series
+        ),
+        grid AS (
+            SELECT series, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        joined AS (
+            SELECT g.series AS series, g.bucket AS bucket, h.close AS close,
+                   CAST(row_number() OVER (PARTITION BY g.series ORDER BY g.bucket) AS BIGINT)
+                       AS rn
+            FROM grid g LEFT JOIN hourly h ON h.series = g.series AND h.bucket = g.bucket
+        ),
+        marked AS (
+            SELECT series, bucket, close, rn,
+                   last_value(close IGNORE NULLS) OVER w_back AS prev_close,
+                   last_value(CASE WHEN close IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER w_back AS prev_rn,
+                   first_value(close IGNORE NULLS) OVER w_fwd AS next_close,
+                   first_value(CASE WHEN close IS NOT NULL THEN rn END IGNORE NULLS)
+                       OVER w_fwd AS next_rn
+            FROM joined
+            WINDOW w_back AS (PARTITION BY series ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_fwd AS (PARTITION BY series ORDER BY bucket
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT series, bucket,
+               CASE WHEN close IS NOT NULL THEN close
+                    WHEN prev_close IS NULL THEN next_close
+                    WHEN next_close IS NULL THEN prev_close
+                    ELSE prev_close + (next_close - prev_close)
+                         * (CAST(rn - prev_rn AS DOUBLE) / CAST(next_rn - prev_rn AS DOUBLE))
+               END AS close_interp,
+               close IS NULL AS filled
+        FROM marked
+    """,
+    tags=("X3",),
+)
+def x3_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly closes (the reference's
+    missing-candle fill [R]).
+
+    Dense grid ⟕ candles, then carry (prev, next) non-null closes and their
+    row offsets with two keyed window scans; blend is pure IEEE arithmetic
+    written identically in both engines, so values match bit-for-bit.
+    """
+    hourly = _hourly_close(spark, sf_dir)
+    joined = _grid(hourly).join(hourly, ["series", "bucket"], "left")
+
+    w = Window.partitionBy("series").orderBy("bucket")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    rn = F.row_number().over(w).cast("long")
+    rn_if_present = F.when(F.col("close").isNotNull(), rn)
+    marked = joined.select(
+        "series",
+        "bucket",
+        "close",
+        rn.alias("rn"),
+        F.last("close", ignorenulls=True).over(w_back).alias("prev_close"),
+        F.last(rn_if_present, ignorenulls=True).over(w_back).alias("prev_rn"),
+        F.first("close", ignorenulls=True).over(w_fwd).alias("next_close"),
+        F.first(rn_if_present, ignorenulls=True).over(w_fwd).alias("next_rn"),
+    )
+    frac = (F.col("rn") - F.col("prev_rn")).cast("double") / (
+        F.col("next_rn") - F.col("prev_rn")
+    ).cast("double")
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(F.col("prev_close").isNull(), F.col("next_close"))
+        .when(F.col("next_close").isNull(), F.col("prev_close"))
+        .otherwise(F.col("prev_close") + (F.col("next_close") - F.col("prev_close")) * frac)
+    )
+    return marked.select(
+        "series",
+        "bucket",
+        interp.alias("close_interp"),
+        F.col("close").isNull().alias("filled"),
+    )
+
+
+@query(
+    "x4_series_validation",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+            FROM events GROUP BY event_type
+        ),
+        ordered AS (
+            SELECT event_type, ts, value,
+                   lag(ts) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_ts
+            FROM events
+        )
+        SELECT o.event_type AS series,
+               count(*) AS n,
+               count(*) - count(DISTINCT o.ts) AS n_dup_ts,
+               count(CASE WHEN o.value <= 0 THEN 1 END) AS n_nonpos,
+               count(CASE WHEN o.prev_ts IS NOT NULL AND o.ts < o.prev_ts THEN 1 END)
+                   AS n_ts_regressions,
+               count(CASE WHEN abs(o.value - s.mu) > 3 * s.sigma THEN 1 END) AS n_outliers
+        FROM ordered o JOIN stats s ON o.event_type = s.event_type
+        GROUP BY o.event_type
+    """,
+    tags=("X4",),
+)
+def x4_series_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-quality predicates: dup timestamps, non-positive values,
+    timestamp regressions in arrival order, 3σ outliers — the reference's
+    packet-validation pass [R]."""
+    e = events_us(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ordered = e.withColumn("prev_ts", F.lag("ts").over(w))
+    return (
+        ordered.join(stats, "event_type")
+        .groupBy(F.col("event_type").alias("series"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.countDistinct("ts")).alias("n_dup_ts"),
+            F.count(F.when(F.col("value") <= 0, 1)).alias("n_nonpos"),
+            F.count(
+                F.when(F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")), 1)
+            ).alias("n_ts_regressions"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "x5_returns",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS series, date_trunc('day', ts) AS day,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
+        )
+        SELECT series, day, close,
+               close / lag(close) OVER (PARTITION BY series ORDER BY day) - 1 AS ret
+        FROM daily
+    """,
+    tags=("X5",),
+)
+def x5_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series daily returns: close/lag(close) - 1 (SURVEY.md §2.10 X5)."""
+    e = events_us(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("series"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    w = Window.partitionBy("series").orderBy("day")
+    return daily.select(
+        "series", "day", "close", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    )
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts, p.value AS value,
+               c.ts AS last_click_ts, c.value AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("J9",),
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click
+    at-or-before it — the canonical tsdb join (the reference's candle
+    lookup semantics, SURVEY.md §2.3 J9 [R]).
+
+    Spark has no ASOF primitive; the scalable shape is union-tag + one
+    keyed window scan: tag both sides, sort within (user) by (ts, side),
+    carry the last click forward. One shuffle on the join key; no range
+    explosion; same cost profile as a sort-merge join.
+    """
+    e = events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        "value",
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_click_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "value", "last_click_ts", "last_click_value"
+    )
+
+
+@query(
+    "s5_incremental_since",
+    oracle="""
+        SELECT event_type, count(*) AS n_new, max(ts) AS newest
+        FROM events
+        WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        GROUP BY event_type
+    """,
+    tags=("S5",),
+)
+def s5_incremental_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental since-cursor read: only rows newer than (stored max(ts)
+    − 7 days) — the reference's update loop fetches from the last stored
+    timestamp exactly this way (SURVEY.md §2.1 S5 [R])."""
+    e = events_us(spark, sf_dir)
+    cursor = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (
+        e.join(F.broadcast(cursor))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_new"), F.max("ts").alias("newest"))
+    )

@@ -1,1 +1,85 @@
-"""Placeholder — operators land in this module."""
+"""Sources & sinks beyond the parquet scan (SURVEY.md §2.1 S2–S4).
+
+Each query is a write→read round-trip through a real on-disk format, then
+an aggregation over the read-back data compared against the oracle run on
+the *original* table — so the grade certifies value fidelity through the
+format, not just "a file appeared".
+
+The partitioned sink (S2) is the warehouse layout: at 100 TB the partition
+column is the pruning key (`WHERE event_type = …` touches one directory).
+CSV/JSON mirror the reference's native storage and API payload formats [R].
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.functions.determinism import dsum, sql_dsum
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us, load
+
+_SINK_ROOT = os.path.join(tempfile.gettempdir(), "dws_sinks")
+
+
+def _sink_dir(name: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = os.path.join(_SINK_ROOT, tag, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+_SQL_EVENT_AGG = f"""
+    SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _event_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@query("s2_partitioned_sink", oracle=_SQL_EVENT_AGG, tags=("S2",))
+def s2_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet round-trip: write events partitioned by
+    event_type (the reference's series-per-directory layout, columnar),
+    read back, aggregate. Partition values survive as scan columns."""
+    out = _sink_dir("s2_partitioned", sf_dir)
+    events_us(spark, sf_dir).write.partitionBy("event_type").parquet(out)
+    return _event_agg(spark.read.parquet(out))
+
+
+@query("s3_csv_roundtrip", oracle=_SQL_EVENT_AGG, tags=("S3",))
+def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with explicit schema — the reference's native storage
+    format [R]. Doubles survive exactly (shortest-round-trip rendering);
+    the timestamp is carried as epoch micros to dodge format parsing."""
+    out = _sink_dir("s3_csv", sf_dir)
+    e = events_us(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    e.write.option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id long, user_id long, event_type string, value double, props string, ts_us long")
+        .csv(out)
+    )
+    return _event_agg(back)
+
+
+@query("s4_jsonl_source", oracle=_SQL_EVENT_AGG, tags=("S4",))
+def s4_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip — the reference ingests exchange API responses
+    as JSON [R]. Schema pinned on read (inference is a scan at scale)."""
+    out = _sink_dir("s4_jsonl", sf_dir)
+    e = events_us(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    e.write.json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, props string, ts_us long"
+    ).json(out)
+    return _event_agg(back)
