@@ -1,0 +1,199 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12 D1–D5).
+
+UDFs are the deliberate slow path (JVM↔Python Arrow hop); every query here
+demonstrates the *surface* on logic whose result is still exactly
+reproducible in SQL, so even the escape hatches stay under the oracle.
+
+All Python callables are defined inside their query functions: executor
+workers don't have this package on PYTHONPATH, so cloudpickle must ship
+them by value (see .claude/skills/verify gotchas).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us, load
+
+
+@query(
+    "d1_scalar_udf",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                    WHEN o_orderstatus = 'F' THEN 'archive'
+                    ELSE 'routine' END AS routing
+        FROM orders
+    """,
+    tags=("D1",),
+)
+def d1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (D1) — exact string logic, graded.
+
+    Kept out of any hot path: this exists to cover the surface; the same
+    logic in production belongs in ``F.when`` (see f4_conditional_funcs).
+    """
+
+    @F.udf("string")
+    def route(priority: str, status: str) -> str:
+        if priority in ("1-URGENT", "2-HIGH"):
+            return "expedite"
+        if status == "F":
+            return "archive"
+        return "routine"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", route("o_orderpriority", "o_orderstatus").alias("routing"))
+
+
+@query(
+    "d2_pandas_udf",
+    oracle="""
+        SELECT event_id,
+               floor(value / 10) * 10 AS value_bucket,
+               length(event_type) + CAST(user_id % 7 AS BIGINT) AS mixed_key
+        FROM events
+    """,
+    tags=("D2",),
+)
+def d2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (D2): Arrow-batched, operates on whole
+    columns — the 10-100× faster alternative to D1 when Python is
+    unavoidable. Exact float arithmetic so the oracle reproduces it."""
+    @F.pandas_udf("double")
+    def bucketize(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.floor(v / 10) * 10
+
+    @F.pandas_udf("long")
+    def mixed_key(t: pd.Series, u: pd.Series) -> pd.Series:
+        return t.str.len() + (u % 7)
+
+    e = events_us(spark, sf_dir)
+    return e.select(
+        "event_id",
+        bucketize("value").alias("value_bucket"),
+        mixed_key("event_type", "user_id").alias("mixed_key"),
+    )
+
+
+@query(
+    "d3_grouped_apply",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+        )
+        SELECT user_id, concat(prev_type, '->', event_type) AS transition,
+               count(*) AS n
+        FROM ordered
+        WHERE prev_type IS NOT NULL
+        GROUP BY user_id, transition
+    """,
+    tags=("D3",),
+)
+def d3_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (D3): per-user pandas logic — the
+    direct escape hatch for per-series algorithms that resist SQL
+    (SURVEY.md §2.12). Computes event-type transition counts; integer
+    output, so the windowed-SQL oracle matches exactly."""
+
+    def transitions(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prev = pdf["event_type"].shift(1)
+        mask = prev.notna()
+        trans = prev[mask] + "->" + pdf["event_type"][mask]
+        out = trans.value_counts().rename_axis("transition").reset_index(name="n")
+        out.insert(0, "user_id", pdf["user_id"].iloc[0])
+        return out
+
+    e = events_us(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return e.groupBy("user_id").applyInPandas(
+        transitions, schema="user_id long, transition string, n long"
+    )
+
+
+@query(
+    "d4_python_udtf",
+    oracle="""
+        SELECT doc_id, part, CAST(idx AS BIGINT) AS idx
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(source, 'c')) AS part,
+                   generate_subscripts(string_split(source, 'c'), 1) - 1 AS idx
+            FROM documents
+        )
+    """,
+    tags=("D4",),
+)
+def d4_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (D4, Spark ≥3.5): table-generating function emitting
+    (part, idx) rows per input — the custom-explode surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, part string, idx bigint")
+    class SplitParts:
+        def eval(self, doc_id: int, source: str):
+            for i, part in enumerate(source.split("c")):
+                yield doc_id, part, i
+
+    spark.udtf.register("split_parts", SplitParts)
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "source").createOrReplaceTempView("d4_docs")
+    return spark.sql(
+        "SELECT p.doc_id, p.part, p.idx FROM d4_docs, LATERAL split_parts(doc_id, source) p"
+    )
+
+
+@query(
+    "d5_sql_registration",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("D5",),
+)
+def d5_sql_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered Python UDF (D5) used from ``spark.sql`` — the engine's
+    SQL surface with user extensions. The UDF's float math is the same IEEE
+    ops as the oracle expression."""
+
+    def net_revenue(price: float, discount: float) -> float:
+        return price * (1.0 - discount)
+
+    spark.udf.register("net_revenue", net_revenue, "double")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("d5_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(SUM(CAST(net_revenue(l_extendedprice, l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM d5_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "s1_parquet_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("S1",),
+)
+def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare parquet scan (S1) — the foundation every other query builds on;
+    named so the inventory row is individually graded."""
+    return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
