@@ -47,28 +47,39 @@ SQL_SHINGLES = """
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document."""
-    toks = F.split("text", " ")
+    """Distinct n-word shingles per document.
+
+    Tokens are projected into a real array column first: expressions
+    inside ``transform`` lambdas get no common-subexpression elimination,
+    so referencing ``split(text)`` directly would re-split the text for
+    every ``element_at`` (≈3× tokens per doc — measured 4× slower).
+    """
+    toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
     )
     return (
-        docs.select("doc_id", F.explode(shingle).alias("shingle"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(shingle).alias("shingle"))
         .distinct()
     )
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """One row per doc with N_HASHES minhash columns mh0..mh7."""
-    h = hash48("shingle")
+    """One row per doc with N_HASHES minhash columns mh0..mh7.
+
+    The md5-derived base hash is projected once per row; inlining it into
+    the agg expressions would evaluate the md5 N_HASHES times per row.
+    """
+    hashed = sh.select("doc_id", hash48("shingle").alias("h"))
     aggs = [
-        F.min((F.lit(MINHASH_AS[i]) * h + F.lit(MINHASH_BS[i])) % F.lit(MINHASH_P)).alias(
-            f"mh{i}"
-        )
+        F.min(
+            (F.lit(MINHASH_AS[i]) * F.col("h") + F.lit(MINHASH_BS[i])) % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 SQL_SIGNATURES = f"""

@@ -94,14 +94,17 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l7_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts via an index-transform over the token array
-    (no self-join, no window — one explode then one aggregate)."""
+    (no self-join, no window — one explode then one aggregate). Tokens
+    projected once: no CSE inside transform lambdas (see dedup.shingles)."""
     d = load(spark, sf_dir, "documents")
-    idx = F.sequence(F.lit(0), F.size(TOKS()) - 2)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
     bigram = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(TOKS(), i + 1), F.element_at(TOKS(), i + 2))
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2))
     )
     return (
-        d.select(F.explode(bigram).alias("bigram"))
+        d.select(F.split("text", " ").alias("toks"))
+        .select(F.explode(bigram).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
