@@ -1,0 +1,94 @@
+"""Unit tests for the comparison harness and determinism helpers —
+the instruments everything else is measured with."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from decimal import Decimal
+
+import pandas as pd
+
+from datums_warehouse_spark.testing.compare import canonical_rows, compare_frames
+
+
+def test_canonical_negative_zero_folds():
+    a = pd.DataFrame({"x": [0.0]})
+    b = pd.DataFrame({"x": [-0.0]})
+    assert canonical_rows(a) == canonical_rows(b)
+
+
+def test_canonical_nan_and_none_merge():
+    a = pd.DataFrame({"x": [float("nan")]})
+    b = pd.DataFrame({"x": [None]}, dtype="object")
+    assert canonical_rows(a) == canonical_rows(b)
+
+
+def test_canonical_decimal_vs_float():
+    a = pd.DataFrame({"x": [Decimal("1.5")]})
+    b = pd.DataFrame({"x": [1.5]})
+    assert canonical_rows(a) == canonical_rows(b)
+
+
+def test_canonical_timestamp_precision_floor():
+    # ns-precision values compare at µs (Spark's ceiling)
+    a = pd.DataFrame({"t": [pd.Timestamp("2024-01-01 00:00:00.123456789")]})
+    b = pd.DataFrame({"t": [pd.Timestamp("2024-01-01 00:00:00.123456")]})
+    assert canonical_rows(a) == canonical_rows(b)
+
+
+def test_canonical_column_order_insensitive():
+    a = pd.DataFrame({"x": [1], "y": [2]})
+    b = pd.DataFrame({"y": [2], "x": [1]})
+    assert canonical_rows(a) == canonical_rows(b[["y", "x"]])
+
+
+def test_compare_detects_schema_mismatch():
+    a = pd.DataFrame({"x": [1]})
+    b = pd.DataFrame({"z": [1]})
+    assert not compare_frames("t", a, b).ok
+
+
+def test_compare_detects_row_count_mismatch():
+    a = pd.DataFrame({"x": [1, 2]})
+    b = pd.DataFrame({"x": [1]})
+    assert not compare_frames("t", a, b).ok
+
+
+def test_compare_detects_value_mismatch():
+    a = pd.DataFrame({"x": [1.0]})
+    b = pd.DataFrame({"x": [1.0000001]})
+    assert not compare_frames("t", a, b).ok
+
+
+def test_compare_order_insensitive_rows():
+    a = pd.DataFrame({"x": [1, 2, 3]})
+    b = pd.DataFrame({"x": [3, 1, 2]})
+    assert compare_frames("t", a, b).ok
+
+
+def test_dsum_is_order_independent(spark):
+    """The core determinism claim: decimal-routed sums don't depend on
+    partitioning/order; plain double sums may."""
+    from pyspark.sql import functions as F
+
+    from datums_warehouse_spark.functions.determinism import dsum
+
+    vals = [(0.1 + i * 1e-7,) for i in range(5000)]
+    df1 = spark.createDataFrame(vals, "v double").repartition(1)
+    df32 = spark.createDataFrame(list(reversed(vals)), "v double").repartition(32)
+    s1 = df1.agg(dsum("v").alias("s")).collect()[0].s
+    s32 = df32.agg(dsum("v").alias("s")).collect()[0].s
+    assert s1 == s32  # bit-identical despite different partitioning/order
+
+
+def test_hash48_matches_duckdb(duck):
+    from datums_warehouse_spark.functions.hashing import sql_hash48
+
+    expr = sql_hash48("'hello world'")
+    got = duck.execute(f"SELECT {expr}").fetchone()[0]
+    # reference value: first 12 hex chars of md5('hello world') as int
+    import hashlib
+
+    expect = int(hashlib.md5(b"hello world").hexdigest()[:12], 16)
+    assert got == expect
