@@ -40,8 +40,10 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footers with the cheapest query once
-    qs[names[0]].fn(spark, sf_dir).count()
+    # warm pass: JVM JIT, parquet footers, plan compilation — measured pass
+    # reflects steady-state execution, comparable round over round
+    for name in names:
+        qs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0

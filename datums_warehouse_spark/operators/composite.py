@@ -1,0 +1,193 @@
+"""Composite analytics — multi-operator pipelines exercising realistic
+query shapes end to end (TPC-H-style decision-support + funnel/health
+reports). Each composes operators already covered individually in
+SURVEY.md §2, proving they chain under one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.functions.determinism import dsum, sql_dsum
+from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.sources.tables import events_us, load
+
+SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "comp1_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {sql_dsum(SQL_REVENUE)} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("composite",),
+)
+def comp1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING orders by revenue —
+    filter pushdown ⋈ two joins ⋈ aggregate ⋈ top-k in one plan.
+    Deterministic LIMIT: revenue is decimal-exact, orderkey breaks ties.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "comp2_returned_items",
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               {sql_dsum(SQL_REVENUE)} AS lost_revenue,
+               count(*) AS n_returned_lines
+        FROM customer
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("composite",),
+)
+def comp2_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("lost_revenue"), F.count(F.lit(1)).alias("n_returned_lines"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "comp3_funnel_conversion",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), converted AS (
+            SELECT DISTINCT c.user_id, c.ts
+            FROM clicks c JOIN purchases p
+              ON p.user_id = c.user_id
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+        )
+        SELECT c.user_id AS user_id,
+               count(*) AS n_clicks,
+               count(v.ts) AS n_converted,
+               round(CAST(count(v.ts) AS DOUBLE) / count(*), 6) AS conversion_rate
+        FROM clicks c
+        LEFT JOIN converted v ON v.user_id = c.user_id AND v.ts = c.ts
+        GROUP BY c.user_id
+    """,
+    tags=("composite",),
+)
+def comp3_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion within 30 minutes, per user — interval
+    join + semi-join-style dedup + conditional aggregation."""
+    e = events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("user_id", "ts")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    joined = clicks.join(converted, ["user_id", "ts"], "left")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("converted").alias("n_converted"),
+        F.round(F.count("converted").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@query(
+    "comp4_series_health",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT series, min(bucket) AS h0, max(bucket) AS h1,
+                   count(*) AS n_candles
+            FROM hourly GROUP BY series
+        ),
+        latest AS (
+            SELECT series, arg_max(close, bucket) AS last_close FROM hourly GROUP BY series
+        )
+        SELECT b.series AS series,
+               b.n_candles AS n_candles,
+               CAST(date_diff('hour', b.h0, b.h1) + 1 AS BIGINT) AS n_expected,
+               CAST(date_diff('hour', b.h0, b.h1) + 1 AS BIGINT) - b.n_candles AS n_gaps,
+               round(CAST(b.n_candles AS DOUBLE)
+                     / (date_diff('hour', b.h0, b.h1) + 1), 6) AS completeness,
+               l.last_close AS last_close
+        FROM bounds b JOIN latest l ON b.series = l.series
+    """,
+    tags=("composite",),
+)
+def comp4_series_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series health report — the reference's validation summary as one
+    query: candle counts vs expected grid, gap totals, completeness ratio,
+    latest close (composes A8 + X2 + A2)."""
+    e = events_us(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("event_type").alias("series"), F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    bounds = hourly.groupBy("series").agg(
+        F.min("bucket").alias("h0"),
+        F.max("bucket").alias("h1"),
+        F.count(F.lit(1)).alias("n_candles"),
+        F.max_by("close", "bucket").alias("last_close"),
+    )
+    n_expected = (
+        (F.unix_timestamp("h1") - F.unix_timestamp("h0")) / 3600 + 1
+    ).cast("long")
+    return bounds.select(
+        "series",
+        "n_candles",
+        n_expected.alias("n_expected"),
+        (n_expected - F.col("n_candles")).alias("n_gaps"),
+        F.round(F.col("n_candles").cast("double") / n_expected, 6).alias("completeness"),
+        "last_close",
+    )

@@ -79,9 +79,7 @@ def x2_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grid(hourly).join(hourly, ["series", "bucket"], "left_anti")
 
 
-@query(
-    "x3_interpolate_linear",
-    oracle=f"""
+SQL_X3_ORACLE = f"""
         WITH hourly AS ({SQL_HOURLY_CLOSE}),
         bounds AS (
             SELECT series, min(bucket) AS h0, max(bucket) AS h1 FROM hourly GROUP BY series
@@ -119,9 +117,10 @@ def x2_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS close_interp,
                close IS NULL AS filled
         FROM marked
-    """,
-    tags=("X3",),
-)
+"""
+
+
+@query("x3_interpolate_linear", oracle=SQL_X3_ORACLE, tags=("X3",))
 def x3_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of missing hourly closes (the reference's
     missing-candle fill [R]).
@@ -327,4 +326,89 @@ def s5_incremental_since(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("cutoff"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_new"), F.max("ts").alias("newest"))
+    )
+
+
+@query("x3b_interpolate_scaled", oracle=SQL_X3_ORACLE, tags=("X3", "scale"))
+def x3b_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-hardened linear interpolation — identical results to
+    ``x3_interpolate_linear`` (same oracle), but no window ever spans a
+    whole series (SURVEY.md §4.3.1).
+
+    Rows partition by (series, 7-day chunk); the cross-chunk carry runs on
+    a per-chunk summary (one row per chunk — thousands of rows at 100 TB,
+    not billions), broadcast back. The global row offset the blend needs
+    is derived from bucket timestamps (hours since epoch), so no global
+    row_number either. Per-task work is bounded by chunk size regardless
+    of series length.
+    """
+    hourly = _hourly_close(spark, sf_dir)
+    joined = _grid(hourly).join(hourly, ["series", "bucket"], "left")
+
+    chunk = F.floor(F.unix_timestamp("bucket") / (7 * 86400)).alias("chunk")
+    hours = (F.unix_timestamp("bucket") / 3600).cast("long")
+    rows = joined.select("series", "bucket", "close", chunk, hours.alias("hrs"))
+
+    # within-chunk carries (partitioned by series AND chunk — bounded work)
+    wc = Window.partitionBy("series", "chunk").orderBy("bucket")
+    wc_back = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wc_fwd = wc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hrs_if_present = F.when(F.col("close").isNotNull(), F.col("hrs"))
+    rows = rows.select(
+        "series",
+        "bucket",
+        "close",
+        "chunk",
+        "hrs",
+        F.last("close", ignorenulls=True).over(wc_back).alias("in_prev_close"),
+        F.last(hrs_if_present, ignorenulls=True).over(wc_back).alias("in_prev_hrs"),
+        F.first("close", ignorenulls=True).over(wc_fwd).alias("in_next_close"),
+        F.first(hrs_if_present, ignorenulls=True).over(wc_fwd).alias("in_next_hrs"),
+    )
+
+    # per-chunk boundary summary: first/last non-null close in each chunk
+    present = rows.filter(F.col("close").isNotNull())
+    summary = present.groupBy("series", "chunk").agg(
+        F.max_by("close", "hrs").alias("chunk_last_close"),
+        F.max("hrs").alias("chunk_last_hrs"),
+        F.min_by("close", "hrs").alias("chunk_first_close"),
+        F.min("hrs").alias("chunk_first_hrs"),
+    )
+    ws = Window.partitionBy("series").orderBy("chunk")
+    carry = summary.select(
+        "series",
+        "chunk",
+        F.last("chunk_last_close", ignorenulls=True)
+        .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("carry_in_close"),
+        F.last("chunk_last_hrs", ignorenulls=True)
+        .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("carry_in_hrs"),
+        F.first("chunk_first_close", ignorenulls=True)
+        .over(ws.rowsBetween(1, Window.unboundedFollowing))
+        .alias("carry_out_close"),
+        F.first("chunk_first_hrs", ignorenulls=True)
+        .over(ws.rowsBetween(1, Window.unboundedFollowing))
+        .alias("carry_out_hrs"),
+    )
+
+    merged = rows.join(F.broadcast(carry), ["series", "chunk"], "left")
+    prev_close = F.coalesce("in_prev_close", "carry_in_close")
+    prev_hrs = F.coalesce("in_prev_hrs", "carry_in_hrs")
+    next_close = F.coalesce("in_next_close", "carry_out_close")
+    next_hrs = F.coalesce("in_next_hrs", "carry_out_hrs")
+
+    # identical integer→double arithmetic as x3's (rn-prev_rn)/(next_rn-prev_rn)
+    frac = (F.col("hrs") - prev_hrs).cast("double") / (next_hrs - prev_hrs).cast("double")
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(prev_close.isNull(), next_close)
+        .when(next_close.isNull(), prev_close)
+        .otherwise(prev_close + (next_close - prev_close) * frac)
+    )
+    return merged.select(
+        "series",
+        "bucket",
+        interp.alias("close_interp"),
+        F.col("close").isNull().alias("filled"),
     )

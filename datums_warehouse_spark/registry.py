@@ -41,6 +41,7 @@ _MODULES = (
     "datums_warehouse_spark.operators.windows",
     "datums_warehouse_spark.operators.sort_set",
     "datums_warehouse_spark.operators.timeseries",
+    "datums_warehouse_spark.operators.composite",
     "datums_warehouse_spark.functions.scalars",
     "datums_warehouse_spark.functions.udf_surface",
     "datums_warehouse_spark.llm.dedup",

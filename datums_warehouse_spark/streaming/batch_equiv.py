@@ -211,3 +211,51 @@ def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     back = spark.read.parquet(data)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("t6_stateful_stream", tags=("T6", "stream"))
+def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (rows-only): per-user cumulative spend
+    via ``applyInPandasWithState`` over a genuine microbatch run — the
+    streaming twin of ``t6_first_threshold_cross``.
+
+    State is one (sum, count) pair per user key, sharded across executors
+    by the groupBy — the shape that holds at any key cardinality.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # nested so cloudpickle ships it by value (workers lack this package)
+    def track_spend(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        total, n = state.get() if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            buys = pdf[pdf["event_type"] == "purchase"]
+            total += float(buys["value"].sum())
+            n += int(len(buys))
+        state.update((total, n))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "total_spend": [total], "n_purchases": [n]}
+        )
+
+    name = f"t6_state_{uuid.uuid4().hex[:8]}"
+    stream = _stream_events(spark, sf_dir)
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            track_spend,
+            outputStructType="user_id long, total_spend double, n_purchases long",
+            stateStructType="total double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

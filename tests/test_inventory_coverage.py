@@ -41,6 +41,7 @@ def test_sql_expressible_rows_have_oracles():
         "l3_lsh_ann",                # MLlib model hashing
         "l9_multimodal_features",    # Python-side extractor by design
         "t4_watermark_stream",       # watermark drop policy, genuine stream
+        "t6_stateful_stream",        # applyInPandasWithState, genuine stream
         "t7_stream_sink",            # genuine stream sink
     }
     missing = {
