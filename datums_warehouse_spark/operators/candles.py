@@ -140,3 +140,33 @@ def x1_resample_1h_to_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n"),
         )
     )
+
+
+@query(
+    "a8_candles_vwap",
+    oracle=f"""
+        SELECT
+          event_type AS series,
+          date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+          {sql_dsum("value * value")} / {sql_dsum("value")} AS vwap,
+          {sql_dsum("value")} AS volume,
+          count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("A8",),
+)
+def a8_candles_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per daily bar — the candle column the
+    reference derives from raw trades (Σ price·vol / Σ vol [R]; ``value``
+    doubles as both here). Decimal-exact numerator and denominator, then
+    one identical double division per group."""
+    e = events_us(spark, sf_dir)
+    return e.groupBy(
+        F.col("event_type").alias("series"),
+        F.date_trunc("day", "ts").alias("bucket"),
+    ).agg(
+        (dsum(F.col("value") * F.col("value")) / dsum("value")).alias("vwap"),
+        dsum("value").alias("volume"),
+        F.count(F.lit(1)).alias("n"),
+    )

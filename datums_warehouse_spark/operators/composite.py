@@ -191,3 +191,32 @@ def comp4_series_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_candles").cast("double") / n_expected, 6).alias("completeness"),
         "last_close",
     )
+
+
+@query(
+    "comp5_promo_revenue_share",
+    oracle=f"""
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} ELSE 0.0 END")}
+                   AS promo_revenue,
+               {sql_dsum(SQL_REVENUE)} AS total_revenue,
+               round({sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE} ELSE 0.0 END")}
+                     / {sql_dsum(SQL_REVENUE)} * 100, 6) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    tags=("composite",),
+)
+def comp5_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly % of revenue from PROMO parts — broadcast
+    dim join + conditional decimal aggregation + exact ratio."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(0.0)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    return joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month")).agg(
+        dsum(promo).alias("promo_revenue"),
+        dsum(revenue).alias("total_revenue"),
+        F.round(dsum(promo) / dsum(revenue) * 100, 6).alias("promo_pct"),
+    )
