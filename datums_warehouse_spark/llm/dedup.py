@@ -292,3 +292,66 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
+
+
+NGRAM_JACCARD_THRESHOLD = 0.25
+
+
+@query(
+    "l2_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS ({SQL_SHINGLES}),
+        src AS (SELECT doc_id, lang FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM src a JOIN src b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS ni
+            FROM pairs p
+            JOIN sh x ON x.doc_id = p.doc_a
+            JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    tags=("L2",),
+)
+def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by language.
+
+    The blocking key (lang) bounds the pair space the way LSH bands do
+    in l2_minhash_lsh_pairs — here exact similarity over every in-block
+    pair, the standard "cheap key blocking + exact verify" dedup recipe.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    src = docs.select("doc_id", "lang")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("src_b"))
+    pairs = a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b"))).select(
+        "doc_a", "doc_b"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -412,3 +412,58 @@ def x3b_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("close_interp"),
         F.col("close").isNull().alias("filled"),
     )
+
+
+@query(
+    "x6_ema",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS series, date_trunc('day', ts) AS day,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
+        ),
+        ordered AS (
+            SELECT series, day, close,
+                   row_number() OVER (PARTITION BY series ORDER BY day) AS rn
+            FROM daily
+        ),
+        ema AS (
+            SELECT series, day, rn, close, close AS ema
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.series, o.day, o.rn, o.close, 0.3 * o.close + 0.7 * e.ema
+            FROM ema e JOIN ordered o ON o.series = e.series AND o.rn = e.rn + 1
+        )
+        SELECT series, day, close, round(ema, 6) AS ema FROM ema
+    """,
+    tags=("X6", "D3"),
+)
+def x6_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of daily closes (α=0.3) per series.
+
+    EMA is inherently recursive — the one time-series primitive that
+    resists window SQL — so this is the sanctioned ``applyInPandas``
+    escape hatch (SURVEY.md §2.12 D3): per-series pandas recursion with
+    the identical `0.3*x + 0.7*prev` IEEE ops the DuckDB recursive-CTE
+    oracle performs, hence bit-equality. Partitioned by series; at 100 TB
+    each group streams through one Arrow batch chain.
+    """
+
+    def ema_fn(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out, prev = [], None
+        for x in pdf["close"]:
+            prev = x if prev is None else 0.3 * x + 0.7 * prev
+            out.append(prev)
+        pdf["ema"] = [round(v, 6) for v in out]
+        return pdf[["series", "day", "close", "ema"]]
+
+    e = events_us(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("series"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    return daily.groupBy("series").applyInPandas(
+        ema_fn, schema="series string, day timestamp, close double, ema double"
+    )
