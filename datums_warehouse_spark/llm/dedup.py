@@ -59,9 +59,15 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
     )
+    # guard: for docs with < n tokens, sequence(0, size-n) would DESCEND
+    # and element_at(toks, 0) throws — emit no shingles (DuckDB's
+    # range(len-2) is empty there too)
+    shingle_safe = F.when(F.size(toks) >= n, shingle).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", F.explode(shingle).alias("shingle"))
+        .select("doc_id", F.explode(shingle_safe).alias("shingle"))
         .distinct()
     )
 
@@ -91,6 +97,54 @@ SQL_SIGNATURES = f"""
     FROM ({SQL_SHINGLES})
     GROUP BY doc_id
 """
+
+
+
+def sql_jaccard_verify(threshold: float) -> str:
+    """Shared oracle tail: sizes/intersection/Jaccard filter over CTEs
+    ``sh`` (doc_id, shingle) and ``cand`` (doc_a, doc_b)."""
+    return f"""
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS ni
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {threshold}
+    """
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) ≥ θ.
+
+    Touches candidate pairs only — the verify stage shared by the LSH and
+    blocked-exact dedup pipelines.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
 
 # --- L1: exact dedup ---------------------------------------------------------
 
@@ -163,20 +217,7 @@ JACCARD_THRESHOLD = 0.5
             FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
                                      AND a.doc_id < b.doc_id
         ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS ni
-            FROM cand c
-            JOIN sh x ON x.doc_id = c.doc_a
-            JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-            GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT doc_a, doc_b,
-               round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
-        FROM inter
-        JOIN sizes na ON na.doc_id = doc_a
-        JOIN sizes nb ON nb.doc_id = doc_b
-        WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {JACCARD_THRESHOLD}
+        {sql_jaccard_verify(JACCARD_THRESHOLD)}
     """,
     tags=("L2",),
 )
@@ -216,23 +257,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
-    return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return jaccard_verify(cand, sh, JACCARD_THRESHOLD)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -302,56 +327,29 @@ NGRAM_JACCARD_THRESHOLD = 0.25
     oracle=f"""
         WITH sh AS ({SQL_SHINGLES}),
         src AS (SELECT doc_id, lang FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pairs AS (
+        cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM src a JOIN src b ON a.lang = b.lang AND a.doc_id < b.doc_id
         ),
-        inter AS (
-            SELECT p.doc_a, p.doc_b, count(*) AS ni
-            FROM pairs p
-            JOIN sh x ON x.doc_id = p.doc_a
-            JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-            GROUP BY p.doc_a, p.doc_b
-        )
-        SELECT doc_a, doc_b,
-               round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
-        FROM inter
-        JOIN sizes na ON na.doc_id = doc_a
-        JOIN sizes nb ON nb.doc_id = doc_b
-        WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {NGRAM_JACCARD_THRESHOLD}
+        {sql_jaccard_verify(NGRAM_JACCARD_THRESHOLD)}
     """,
     tags=("L2",),
 )
 def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, blocked by language.
 
-    The blocking key (lang) bounds the pair space the way LSH bands do
-    in l2_minhash_lsh_pairs — here exact similarity over every in-block
-    pair, the standard "cheap key blocking + exact verify" dedup recipe.
+    The small-block exact recipe: every in-block pair is verified, so cost
+    is quadratic WITHIN a block. With only 5 language blocks this is the
+    exact-but-expensive baseline — at 100 TB the blocking key must be
+    high-cardinality (or use l2_minhash_lsh_pairs, whose LSH bands bound
+    candidates regardless of blocking).
     """
     docs = load(spark, sf_dir, "documents")
     sh = shingles(docs).cache()
     src = docs.select("doc_id", "lang")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("src_b"))
-    pairs = a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b"))).select(
-        "doc_a", "doc_b"
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
-    return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    cand = a.join(
+        b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+    return jaccard_verify(cand, sh, NGRAM_JACCARD_THRESHOLD)

@@ -216,14 +216,28 @@ def x4_series_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Daily close per series — used by returns (X5) and EMA (X6).
+SQL_DAILY_CLOSE = """
+    SELECT event_type AS series,
+           date_trunc('day', ts) AS day,
+           arg_max(value, ts) AS close
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_us(spark, sf_dir)
+    return e.groupBy(
+        F.col("event_type").alias("series"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+
+
 @query(
     "x5_returns",
-    oracle="""
-        WITH daily AS (
-            SELECT event_type AS series, date_trunc('day', ts) AS day,
-                   arg_max(value, ts) AS close
-            FROM events GROUP BY 1, 2
-        )
+    oracle=f"""
+        WITH daily AS ({SQL_DAILY_CLOSE})
         SELECT series, day, close,
                close / lag(close) OVER (PARTITION BY series ORDER BY day) - 1 AS ret
         FROM daily
@@ -232,10 +246,7 @@ def x4_series_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x5_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series daily returns: close/lag(close) - 1 (SURVEY.md §2.10 X5)."""
-    e = events_us(spark, sf_dir)
-    daily = e.groupBy(
-        F.col("event_type").alias("series"), F.date_trunc("day", "ts").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    daily = _daily_close(spark, sf_dir)
     w = Window.partitionBy("series").orderBy("day")
     return daily.select(
         "series", "day", "close", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -416,12 +427,8 @@ def x3b_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x6_ema",
-    oracle="""
-        WITH RECURSIVE daily AS (
-            SELECT event_type AS series, date_trunc('day', ts) AS day,
-                   arg_max(value, ts) AS close
-            FROM events GROUP BY 1, 2
-        ),
+    oracle=f"""
+        WITH RECURSIVE daily AS ({SQL_DAILY_CLOSE}),
         ordered AS (
             SELECT series, day, close,
                    row_number() OVER (PARTITION BY series ORDER BY day) AS rn
@@ -434,7 +441,7 @@ def x3b_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o.series, o.day, o.rn, o.close, 0.3 * o.close + 0.7 * e.ema
             FROM ema e JOIN ordered o ON o.series = e.series AND o.rn = e.rn + 1
         )
-        SELECT series, day, close, round(ema, 6) AS ema FROM ema
+        SELECT series, day, close, ema FROM ema
     """,
     tags=("X6", "D3"),
 )
@@ -445,25 +452,23 @@ def x6_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     resists window SQL — so this is the sanctioned ``applyInPandas``
     escape hatch (SURVEY.md §2.12 D3): per-series pandas recursion with
     the identical `0.3*x + 0.7*prev` IEEE ops the DuckDB recursive-CTE
-    oracle performs, hence bit-equality. Partitioned by series; at 100 TB
-    each group streams through one Arrow batch chain.
+    oracle performs, hence bit-equality (no rounding on either side —
+    Python's round is half-to-even, DuckDB's half-away; mixing them would
+    break exact grading). Grouped-map UDFs materialize each group whole in
+    the Python worker, so group size is bounded by pre-aggregating to one
+    row per (series, day) first — days per series, not events.
     """
 
     def ema_fn(pdf):
-        import pandas as _pd
-
         pdf = pdf.sort_values("day").reset_index(drop=True)
         out, prev = [], None
         for x in pdf["close"]:
             prev = x if prev is None else 0.3 * x + 0.7 * prev
             out.append(prev)
-        pdf["ema"] = [round(v, 6) for v in out]
+        pdf["ema"] = out
         return pdf[["series", "day", "close", "ema"]]
 
-    e = events_us(spark, sf_dir)
-    daily = e.groupBy(
-        F.col("event_type").alias("series"), F.date_trunc("day", "ts").alias("day")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    daily = _daily_close(spark, sf_dir)
     return daily.groupBy("series").applyInPandas(
         ema_fn, schema="series string, day timestamp, close double, ema double"
     )
