@@ -254,3 +254,63 @@ def a11_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("types"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "a5_grouping_sets",
+    oracle=f"""
+        SELECT c_mktsegment, o_orderpriority,
+               count(*) AS n, {sql_dsum("o_totalprice")} AS total,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+    tags=("A5",),
+)
+def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators, via the SQL
+    surface (rollup/cube cover the other A5 shapes)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.join(o, c.c_custkey == o.o_custkey).createOrReplaceTempView("a5gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri
+        FROM a5gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "a1_salted_two_stage",
+    oracle=f"""
+        SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total
+        FROM events GROUP BY event_type
+    """,
+    tags=("A1", "scale"),
+)
+def a1_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation: pre-aggregate on (key, salt) then
+    merge — the manual skew-buster for hot grouping keys (SURVEY.md §4.3).
+
+    With 5 event types every key IS hot; salting spreads each over 16
+    partial groups. Decimal sums re-merge exactly, so the result is
+    bit-identical to the direct aggregation (same oracle shape). At 100 TB
+    this is the fallback when AQE skew handling can't help (skew in the
+    aggregation key itself, not a join).
+    """
+    e = events_us(spark, sf_dir)
+    salted = e.withColumn("salt", F.col("event_id") % 16)
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("psum").cast("double").alias("total")
+    )

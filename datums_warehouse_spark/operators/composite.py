@@ -220,3 +220,80 @@ def comp5_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(revenue).alias("total_revenue"),
         F.round(dsum(promo) / dsum(revenue) * 100, 6).alias("promo_pct"),
     )
+
+
+@query(
+    "comp6_small_quantity_revenue",
+    oracle=f"""
+        SELECT p_brand,
+               {sql_dsum("l_extendedprice")} / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey
+        )
+        GROUP BY p_brand
+    """,
+    tags=("composite",),
+)
+def comp6_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders, per brand —
+    a correlated scalar subquery, decorrelated by hand into a per-part
+    average joined back (exactly what Catalyst's RewriteCorrelatedScalarQuery
+    does; writing the join form keeps the plan explicit).
+
+    Cross-engine note: the 0.2*avg threshold is compared, not projected —
+    avg(integral doubles) is exact, 0.2*x is one deterministic multiply,
+    so the predicate agrees between engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "comp7_large_orders",
+    oracle=f"""
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+               {sql_dsum("l_quantity")} AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("composite",),
+)
+def comp7_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — IN-subquery on
+    an aggregate, expressed as a semi join against the grouped lineitem
+    (sum of integral quantities is exact, so the >250 cut is portable)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
