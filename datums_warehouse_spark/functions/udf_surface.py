@@ -197,3 +197,37 @@ def s1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bare parquet scan (S1) — the foundation every other query builds on;
     named so the inventory row is individually graded."""
     return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "d2_pandas_udaf",
+    oracle="""
+        SELECT event_type,
+               round(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                   AS self_weighted_mean
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("D2",),
+)
+def d2_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): self-weighted mean
+    Σv²/Σv per series. The UDF quantizes per-row terms to 1e-6 before
+    summing — mirroring the decimal-cast oracle exactly, so even a custom
+    Python aggregator stays under the oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    @F.pandas_udf("double")
+    def self_weighted_mean(v: pd.Series) -> float:
+        # HALF_UP quantization matches both engines' double→decimal casts
+        # for positive values (Python's default is banker's rounding)
+        q = Decimal("0.000001")
+        num = sum(Decimal(float(x * x)).quantize(q, ROUND_HALF_UP) for x in v)
+        den = sum(Decimal(float(x)).quantize(q, ROUND_HALF_UP) for x in v)
+        return round(float(num) / float(den), 6)
+
+    e = events_us(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        self_weighted_mean("value").alias("self_weighted_mean")
+    )
