@@ -36,7 +36,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:  # dir name without an sf<N> suffix
+        sf = 0.0
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -61,7 +64,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

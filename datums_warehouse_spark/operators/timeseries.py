@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datums_warehouse_spark.functions.determinism import dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us
 
@@ -169,7 +170,15 @@ def x3_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x4_series_validation",
     oracle="""
         WITH stats AS (
-            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+            -- mu/sigma from exact decimal sums: plain avg/stddev_samp are
+            -- order-dependent double folds, and a value sitting one ulp from
+            -- the 3-sigma cut would grade differently between engines
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mu,
+                   sqrt((CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+                         - CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                           * (CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*)))
+                        / (count(*) - 1)) AS sigma
             FROM events GROUP BY event_type
         ),
         ordered AS (
@@ -194,8 +203,13 @@ def x4_series_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp regressions in arrival order, 3σ outliers — the reference's
     packet-validation pass [R]."""
     e = events_us(spark, sf_dir)
+    # identical decimal-exact mu/sigma arithmetic as the oracle (see SQL)
+    n = F.count(F.lit(1))
+    s1 = dsum("value")
+    s2 = dsum(F.col("value") * F.col("value"))
     stats = e.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * (s1 / n)) / (n - 1)).alias("sigma"),
     )
     w = Window.partitionBy("event_type").orderBy("event_id")
     ordered = e.withColumn("prev_ts", F.lag("ts").over(w))
@@ -377,13 +391,24 @@ def x3b_interpolate_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(hrs_if_present, ignorenulls=True).over(wc_fwd).alias("in_next_hrs"),
     )
 
-    # per-chunk boundary summary: first/last non-null close in each chunk
+    # per-chunk boundary summary: first/last non-null close in each chunk.
+    # Built over ALL chunks in the grid (left join), not just chunks with
+    # data: a chunk with zero present closes must still receive carries
+    # from its neighbors, or every row in it interpolates to NULL.
     present = rows.filter(F.col("close").isNotNull())
-    summary = present.groupBy("series", "chunk").agg(
-        F.max_by("close", "hrs").alias("chunk_last_close"),
-        F.max("hrs").alias("chunk_last_hrs"),
-        F.min_by("close", "hrs").alias("chunk_first_close"),
-        F.min("hrs").alias("chunk_first_hrs"),
+    summary = (
+        rows.select("series", "chunk")
+        .distinct()
+        .join(
+            present.groupBy("series", "chunk").agg(
+                F.max_by("close", "hrs").alias("chunk_last_close"),
+                F.max("hrs").alias("chunk_last_hrs"),
+                F.min_by("close", "hrs").alias("chunk_first_close"),
+                F.min("hrs").alias("chunk_first_hrs"),
+            ),
+            ["series", "chunk"],
+            "left",
+        )
     )
     ws = Window.partitionBy("series").orderBy("chunk")
     carry = summary.select(

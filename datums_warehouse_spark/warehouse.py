@@ -59,9 +59,15 @@ class Warehouse:
             .filter(F.col("cursor").isNull() | (F.col("ts") > F.col("cursor")))
             .drop("cursor")
         )
-        n = fresh.count()
-        if n:
-            self.ingest(fresh)
+        # persist: count + ingest would otherwise each recompute the filter
+        # join (and could see different rows if the source is re-read)
+        fresh.persist()
+        try:
+            n = fresh.count()
+            if n:
+                self.ingest(fresh)
+        finally:
+            fresh.unpersist()
         return n
 
     # -- read path ------------------------------------------------------------
