@@ -158,3 +158,26 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view").select("user_id", day)
     buys = e.filter(F.col("event_type") == "purchase").select("user_id", day)
     return views.subtract(buys)
+
+
+@query("o5_table_sample", tags=("O5", "sampling"))
+def o5_table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli table sample, seeded (rows-only: sampling RNG is
+    engine-specific). At 100 TB this is the cheap way to bound any
+    estimation query — the sample predicate evaluates during the scan,
+    no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query("o5_stratified_sample", tags=("O5", "sampling"))
+def o5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: different fractions per event_type via
+    ``sampleBy`` — the class-balancing step of a training-data pipeline
+    (rows-only). Output is the per-stratum sampled counts."""
+    e = events_us(spark, sf_dir)
+    fractions = {"click": 0.05, "view": 0.05, "purchase": 0.5, "signup": 0.5, "error": 1.0}
+    sampled = e.sampleBy("event_type", fractions, seed=42)
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
