@@ -249,3 +249,93 @@ def l14_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("fp_max"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 20, 15  # 20-token windows, 5-token overlap
+
+
+@query(
+    "l15_doc_chunking",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+                   AS chunk_text,
+               CAST(least({CHUNK_SIZE}, len(toks) - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   unnest(range(CAST(ceil((len(string_split(text, ' ')) - {CHUNK_SIZE})
+                                           / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)) AS i
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        )
+    """,
+    tags=("L15",),
+)
+def l15_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 20-token chunks, 5-token overlap —
+    the context-window preprocessing step of a training pipeline.
+
+    Pure array arithmetic (sequence → slice → concat): chunk boundaries
+    are data-independent so the op is embarrassingly parallel; no UDF.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    n = F.size(toks)
+    n_chunks = F.ceil((n - CHUNK_SIZE).cast("double") / CHUNK_STRIDE).cast("long") + 1
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(n > 0)
+        .select("doc_id", "toks", F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(CHUNK_SIZE), n - F.col("chunk_idx") * CHUNK_STRIDE)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+PACK_BUDGET = 128  # tokens per packed sequence
+
+
+@query(
+    "l16_sequence_packing",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        running AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM running
+    """,
+    tags=("L16",),
+)
+def l16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ~128-token training sequences by
+    cumulative token count (the streaming-greedy packer, exact integer
+    arithmetic). A global ordered window — at 100 TB this would run per
+    shard (the pack boundary is shard-local anyway); graded form shows the
+    semantics."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+    )

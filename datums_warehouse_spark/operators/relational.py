@@ -145,3 +145,46 @@ def p7_compound_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT") & ~(F.col("o_orderstatus") == "O")
     )
     return o.filter(cond).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "p8_table_profile",
+    oracle=f"""
+        SELECT 'l_quantity' AS col, count(*) AS n, count(l_quantity) AS n_nonnull,
+               count(DISTINCT l_quantity) AS n_distinct,
+               min(l_quantity) AS vmin, max(l_quantity) AS vmax
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+               count(DISTINCT l_extendedprice), min(l_extendedprice), max(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(l_discount),
+               count(DISTINCT l_discount), min(l_discount), max(l_discount)
+        FROM lineitem
+    """,
+    tags=("P8", "profiling"),
+)
+def p8_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: null/distinct/min/max per measure column — the
+    warehouse-hygiene utility every ingest runs. One aggregate scan per
+    profiled column, unioned to one row per column (count-distinct forces
+    the per-column pass; without it this would be a single multi-agg scan).
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("vmin"),
+            F.max(col).alias("vmax"),
+        )
+
+    return (
+        profile("l_quantity")
+        .unionByName(profile("l_extendedprice"))
+        .unionByName(profile("l_discount"))
+    )
