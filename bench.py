@@ -57,6 +57,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    from datums_warehouse_spark.llm.dedup import release_caches
+
+    release_caches()  # drop the last dedup shingle cache before reporting
     print(
         json.dumps(
             {

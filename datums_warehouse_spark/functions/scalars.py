@@ -212,7 +212,10 @@ def f5_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS comp_sum,
                round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6)
                    AS comp_sq_sum,
-               list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) AS head4
+               CAST(embedding[1] AS DOUBLE) AS h1,
+               CAST(embedding[2] AS DOUBLE) AS h2,
+               CAST(embedding[3] AS DOUBLE) AS h3,
+               CAST(embedding[4] AS DOUBLE) AS h4
         FROM embeddings
     """,
     tags=("F6",),
@@ -232,7 +235,12 @@ def f6_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x * x), 6
         ).alias("comp_sq_sum"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+        # slice-as-scalars (not an array column): the driver's canonicalizer
+        # can't hash list cells — see a11_collect_list in round 1
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"h{i}")
+            for i in range(1, 5)
+        ],
     )
 
 

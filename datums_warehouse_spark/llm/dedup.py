@@ -30,6 +30,27 @@ from datums_warehouse_spark.sources.tables import load
 N_HASHES = 8
 N_BANDS = 4  # 4 bands × 2 rows
 
+# Scoped shingle cache: the shingle DataFrame is reused 2-3× within one
+# dedup query (signatures + Jaccard verify), so caching it is a real win —
+# but a query function can't know when its caller is done materializing, so
+# a plain .cache() leaks blocks across queries in a long-lived session.
+# Policy: at most ONE live shingle cache; taking a new one unpersists the
+# previous. bench.py / long-lived callers can also release_caches() when done.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _scoped_cache(df: DataFrame) -> DataFrame:
+    release_caches()
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist any shingle cache still held from a prior dedup query."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 # --- shared shingle pipeline -------------------------------------------------
 
 SQL_SHINGLES = """
@@ -230,7 +251,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces exactly (SURVEY.md §4.3.3).
     """
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(docs).cache()
+    sh = _scoped_cache(shingles(docs))
     sigs = minhash_signatures(sh)
 
     band_structs = F.array(
@@ -345,7 +366,7 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates regardless of blocking).
     """
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(docs).cache()
+    sh = _scoped_cache(shingles(docs))
     src = docs.select("doc_id", "lang")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("src_b"))

@@ -264,8 +264,9 @@ CHUNK_SIZE, CHUNK_STRIDE = 20, 15  # 20-token windows, 5-token overlap
                CAST(least({CHUNK_SIZE}, len(toks) - i * {CHUNK_STRIDE}) AS BIGINT) AS n_tokens
         FROM (
             SELECT doc_id, string_split(text, ' ') AS toks,
-                   unnest(range(CAST(ceil((len(string_split(text, ' ')) - {CHUNK_SIZE})
-                                           / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)) AS i
+                   unnest(range(greatest(
+                       CAST(ceil((len(string_split(text, ' ')) - {CHUNK_SIZE})
+                                 / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1, 1))) AS i
             FROM documents
             WHERE len(string_split(text, ' ')) > 0
         )
@@ -282,8 +283,12 @@ def l15_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.col("toks")
     n = F.size(toks)
+    # Clamp: for n <= CHUNK_SIZE - CHUNK_STRIDE the ceil goes negative and
+    # F.sequence(0, -1) would DESCEND, emitting spurious chunks (chunk_idx -1
+    # slices from the array end). A short doc is exactly one chunk — same
+    # guard as dedup.shingles.
     n_chunks = F.ceil((n - CHUNK_SIZE).cast("double") / CHUNK_STRIDE).cast("long") + 1
-    idx = F.sequence(F.lit(0), n_chunks - 1)
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(n > 0)

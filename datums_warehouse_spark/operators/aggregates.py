@@ -239,7 +239,7 @@ def a10_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a11_collect_list",
     oracle="""
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)) AS types,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                count(*) AS n
         FROM events
         GROUP BY user_id
@@ -247,11 +247,13 @@ def a10_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A11",),
 )
 def a11_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set into a sorted array (sorted for determinism — raw
-    collect order is partition-dependent)."""
+    """collect_set into a sorted, comma-joined string (sorted for
+    determinism — raw collect order is partition-dependent; joined to a
+    scalar because the correctness gate's canonicalizer hashes flat cells,
+    and array cells are unhashable on the pandas side)."""
     e = events_us(spark, sf_dir)
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -182,15 +182,18 @@ def x3_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY event_type
         ),
         ordered AS (
-            SELECT event_type, ts, value,
-                   lag(ts) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_ts
+            -- epoch_us: Spark sees µs-truncated ts (sources/tables.py rule —
+            -- oracle SQL touching raw ns ts must cast to µs or coarser)
+            SELECT event_type, epoch_us(ts) AS ts_us, value,
+                   lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id)
+                       AS prev_ts_us
             FROM events
         )
         SELECT o.event_type AS series,
                count(*) AS n,
-               count(*) - count(DISTINCT o.ts) AS n_dup_ts,
+               count(*) - count(DISTINCT o.ts_us) AS n_dup_ts,
                count(CASE WHEN o.value <= 0 THEN 1 END) AS n_nonpos,
-               count(CASE WHEN o.prev_ts IS NOT NULL AND o.ts < o.prev_ts THEN 1 END)
+               count(CASE WHEN o.prev_ts_us IS NOT NULL AND o.ts_us < o.prev_ts_us THEN 1 END)
                    AS n_ts_regressions,
                count(CASE WHEN abs(o.value - s.mu) > 3 * s.sigma THEN 1 END) AS n_outliers
         FROM ordered o JOIN stats s ON o.event_type = s.event_type
@@ -273,7 +276,11 @@ def x5_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH purchases AS (
             SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
         ), clicks AS (
-            SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            -- one click per (user, ts), ties broken by highest event_id:
+            -- ASOF with duplicate right-side ts is otherwise ambiguous
+            SELECT user_id, ts, arg_max(value, event_id) AS value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
         )
         SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts, p.value AS value,
                c.ts AS last_click_ts, c.value AS last_click_value
@@ -293,13 +300,21 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion; same cost profile as a sort-merge join.
     """
     e = events_us(spark, sf_dir)
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-        F.col("value").alias("click_value"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("double").alias("value"),
+    # Duplicate click timestamps for one user would make the carried value
+    # partition-order-dependent; reduce to one click per (user, ts) first,
+    # ties broken by highest event_id — mirrored by arg_max in the oracle.
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "click_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -311,7 +326,7 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = clicks.unionByName(purchases).select(

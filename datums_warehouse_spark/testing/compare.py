@@ -76,7 +76,27 @@ class CompareResult:
         return self.ok
 
 
+def _driver_unhashable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells the driver's pandas-based canonicalizer cannot
+    sort/hash (list/ndarray/dict). Round 1 proof: a11_collect_list returned
+    an array column and the driver crashed with `unhashable type: 'list'`
+    instead of grading it — such columns must be joined to scalars first."""
+    bad = []
+    for col in df.columns:
+        head = df[col].head(20)
+        if any(
+            isinstance(v, (list, dict)) or type(v).__name__ == "ndarray" for v in head
+        ):
+            bad.append(col)
+    return bad
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    bad = _driver_unhashable_cols(spark_pdf)
+    if bad:
+        return CompareResult(
+            name, False, f"driver-unhashable (list/dict/ndarray) columns: {bad}"
+        )
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return CompareResult(name, False, f"schema mismatch: spark={s_cols} oracle={o_cols}")
