@@ -34,22 +34,28 @@ N_BANDS = 4  # 4 bands × 2 rows
 # dedup query (signatures + Jaccard verify), so caching it is a real win —
 # but a query function can't know when its caller is done materializing, so
 # a plain .cache() leaks blocks across queries in a long-lived session.
-# Policy: at most ONE live shingle cache; taking a new one unpersists the
-# previous. bench.py / long-lived callers can also release_caches() when done.
-_LIVE_CACHES: list[DataFrame] = []
+# Policy: at most ONE live shingle cache, keyed by (session, sf_dir) so
+# repeated calls (and minhash/ngram in the same run) REUSE it rather than
+# rebuild; taking a cache for a new key unpersists the old one. Long-lived
+# callers can release_caches() when done with dedup entirely.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _scoped_cache(df: DataFrame) -> DataFrame:
+def _scoped_cache(df: DataFrame, key: tuple) -> DataFrame:
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     release_caches()
     df = df.cache()
-    _LIVE_CACHES.append(df)
+    _SHINGLE_CACHE[key] = df
     return df
 
 
 def release_caches() -> None:
     """Unpersist any shingle cache still held from a prior dedup query."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+    for df in _SHINGLE_CACHE.values():
+        df.unpersist()
+    _SHINGLE_CACHE.clear()
 
 # --- shared shingle pipeline -------------------------------------------------
 
@@ -147,22 +153,34 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
 
     Touches candidate pairs only — the verify stage shared by the LSH and
     blocked-exact dedup pipelines.
+
+    Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) exactly, so a
+    pair failing min ≥ θ·max can never verify — pruned with a broadcast
+    join BEFORE the shingle-intersection join (the expensive stage, whose
+    input is pairs × shingles). Exact pruning: the final result set is
+    unchanged, only the candidate stream shrinks.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ratio_ok = F.least("na", "nb").cast("double") >= threshold * F.greatest(
+        "na", "nb"
+    ).cast("double")
+    cand = (
+        cand.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(ratio_ok)
+    )
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.shingle") == F.col("x.shingle")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -251,7 +269,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces exactly (SURVEY.md §4.3.3).
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _scoped_cache(shingles(docs))
+    sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
     sigs = minhash_signatures(sh)
 
     band_structs = F.array(
@@ -359,18 +377,45 @@ NGRAM_JACCARD_THRESHOLD = 0.25
 def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, blocked by language.
 
-    The small-block exact recipe: every in-block pair is verified, so cost
-    is quadratic WITHIN a block. With only 5 language blocks this is the
-    exact-but-expensive baseline — at 100 TB the blocking key must be
-    high-cardinality (or use l2_minhash_lsh_pairs, whose LSH bands bound
-    candidates regardless of blocking).
+    Inverted-index shape, not pair-first: any pair with J ≥ θ > 0 shares at
+    least one shingle, so self-joining the (doc, shingle) index on shingle
+    enumerates every qualifying pair WITH its exact intersection count in
+    one pass — cost is Σ_s df(s)² (pairs that actually co-occur), not
+    |block|² × shingles (every in-block pair times its shingle list). On
+    this corpus that's ~2.8M joined rows vs ~140M pair-expanded rows.
+
+    At 100 TB the hazard is a viral shingle (df in the millions) squaring;
+    the standard exact mitigations are prefix filtering (PPJoin) or a df
+    cap with a fallback pass — or use l2_minhash_lsh_pairs, whose LSH
+    bands bound candidates regardless of term frequency. AQE skew-join
+    splits oversized shingle partitions here.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _scoped_cache(shingles(docs))
-    src = docs.select("doc_id", "lang")
-    a = src.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("src_a"))
-    b = src.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("src_b"))
-    cand = a.join(
-        b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b"))
-    ).select("doc_a", "doc_b")
-    return jaccard_verify(cand, sh, NGRAM_JACCARD_THRESHOLD)
+    sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
+    # lang rides along on the index rows so the block predicate is part of
+    # the self-join condition (broadcast: the doc→lang map is tiny next to
+    # the shingle index; at scale it's a co-partitioned join on doc_id)
+    shl = sh.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    x, y = shl.alias("x"), shl.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
