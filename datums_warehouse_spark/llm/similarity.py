@@ -221,6 +221,130 @@ def l10_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 8        # coarse cells (seed centroids)
+IVF_NPROBE = 2   # cells probed per query
+IVF_TOPK = 3
+
+SQL_IVF_D2 = (
+    "v.norm2 + s.s_n2 - 2 * "
+    + SQL_DDOT.format(a="v.embedding", b="s.s_emb")
+)
+
+
+@query(
+    "l3_ivf_ann",
+    oracle=f"""
+        WITH n2 AS (
+            SELECT vec_id, embedding,
+                   {SQL_DDOT.format(a="embedding", b="embedding")} AS norm2
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, embedding AS s_emb, norm2 AS s_n2
+            FROM n2 WHERE vec_id < {IVF_K}
+        ),
+        ranked AS (
+            SELECT v.vec_id, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {SQL_IVF_D2}, s.seed_id
+                   ) AS rn
+            FROM n2 v CROSS JOIN seeds s
+        ),
+        assign AS (SELECT vec_id, seed_id FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT vec_id AS query_id, seed_id FROM ranked
+            WHERE rn <= {IVF_NPROBE} AND vec_id >= 10 AND vec_id < 20
+        ),
+        normed AS (SELECT vec_id, embedding, sqrt(norm2) AS norm FROM n2)
+        SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cosine,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {SQL_DDOT.format(a="q.embedding", b="c.embedding")}
+                       / (q.norm * c.norm) AS cosine_raw,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {SQL_DDOT.format(a="q.embedding", b="c.embedding")}
+                                / (q.norm * c.norm) DESC, a.vec_id
+                   ) AS rn
+            FROM probes p
+            JOIN assign a ON a.seed_id = p.seed_id AND a.vec_id != p.query_id
+            JOIN normed q ON q.vec_id = p.query_id
+            JOIN normed c ON c.vec_id = a.vec_id
+        )
+        WHERE rn <= {IVF_TOPK}
+    """,
+    tags=("L3",),
+)
+def l3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate NN, fully oracle-graded.
+
+    The textbook IVF shape: a small coarse quantizer partitions the corpus
+    into K cells (inverted lists); each query probes only its NPROBE
+    nearest cells and scores candidates there — touching ~NPROBE/K of the
+    data instead of all of it. Coarse centroids here are seed vectors
+    (vec_id < K) rather than k-means output so cell assignment is exact
+    deterministic arithmetic both engines reproduce; at 100 TB the
+    centroids would come from k-means on a driver-side sample (still tiny
+    and broadcast), the assignment cross-join stays N×K, and the inverted
+    lists would be written bucketed by cell so a probe is a partition-
+    pruned scan, not a shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "norm2", ddot("embedding", "embedding")
+    )
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("norm2").alias("s_n2"),
+        )
+    )
+    d2 = F.col("norm2") + F.col("s_n2") - 2 * ddot("embedding", "s_emb")
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    ranked = (
+        emb.join(seeds)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("member_id"), F.col("seed_id").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("query_id"), F.col("seed_id").alias("probe_cell"))
+    normed = emb.select("vec_id", "embedding", F.sqrt("norm2").alias("norm"))
+    q = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cand = (
+        probes.join(
+            assign,
+            (F.col("probe_cell") == F.col("cell"))
+            & (F.col("member_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("member_id").alias("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine_raw", ddot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_top).cast("long"))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )
+
+
 @query("l3_lsh_ann", tags=("L3",))
 def l3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-projection LSH (rows-only: model hashing
