@@ -48,6 +48,66 @@ def l9_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FRAMES = 8       # uniform samples per payload
+FRAME_BYTES = 16   # bytes per sampled "frame"
+
+
+@query(
+    "l9_frame_sample",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(1 + (i * n) // {N_FRAMES} AS BIGINT) AS byte_offset,
+               md5(substring(text, CAST(1 + (i * n) // {N_FRAMES} AS INT),
+                             {FRAME_BYTES})) AS frame_md5
+        FROM (
+            SELECT doc_id, text, length(text) AS n,
+                   unnest(range({N_FRAMES})) AS i
+            FROM documents
+        )
+        WHERE n > 0
+    """,
+    tags=("L9",),
+)
+def l9_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media payloads: N uniformly-spaced byte-range
+    probes per payload, fingerprinted.
+
+    The video-pipeline shape: frame positions are pure arithmetic over the
+    payload length (data-independent → embarrassingly parallel, no UDF),
+    and each probe touches a bounded byte range — with real video the
+    substring becomes an ffmpeg keyframe seek inside a mapInPandas batch
+    (see l9_multimodal_features for that plumbing); the sampling plan,
+    explode shape, and per-frame output schema are identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    frames = (
+        d.select("doc_id", "text", n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "text",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_idx"),
+        )
+    )
+    return (
+        frames.withColumn(
+            "byte_offset",
+            F.expr(f"CAST(1 + (frame_idx * n) div {N_FRAMES} AS BIGINT)"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "byte_offset",
+            F.md5(
+                F.expr(f"substring(text, CAST(byte_offset AS INT), {FRAME_BYTES})")
+            ).alias("frame_md5"),
+        )
+    )
+
+
 FEATURE_DIM = 8
 _FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, features array<double>, decode_status string"

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datums_warehouse_spark.functions.determinism import dsum
+from datums_warehouse_spark.functions.determinism import DEC, dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us
 
@@ -511,4 +511,85 @@ def x6_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_close(spark, sf_dir)
     return daily.groupBy("series").applyInPandas(
         ema_fn, schema="series string, day timestamp, close double, ema double"
+    )
+
+
+CORR_WINDOW = 7  # trailing days
+
+
+@query(
+    "x7_rolling_corr",
+    oracle=f"""
+        WITH daily AS ({SQL_DAILY_CLOSE}),
+        j AS (
+            SELECT x.day AS day, x.close AS x, y.close AS y
+            FROM (SELECT day, close FROM daily WHERE series = 'click') x
+            JOIN (SELECT day, close FROM daily WHERE series = 'purchase') y
+                USING (day)
+        ),
+        wins AS (
+            SELECT day,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(25,6))) OVER w AS DOUBLE) AS syy
+            FROM j
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING
+                                              AND CURRENT ROW)
+        )
+        SELECT day, CAST(n AS BIGINT) AS n_obs,
+               round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                          THEN (n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 6) AS corr_7d
+        FROM wins
+    """,
+    tags=("X7",),
+)
+def x7_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between two series' daily closes
+    (click vs purchase) — the cross-series co-movement query of a
+    time-series warehouse.
+
+    All five running sums go through exact decimal accumulation (see
+    functions/determinism.py) so the window algebra is bit-identical
+    cross-engine; the correlation itself is then plain IEEE arithmetic
+    written identically in both. Degenerate windows (a constant series →
+    zero variance) yield NULL, guarded the same way on both sides.
+
+    The window here is global (one series pair). At scale the same plan
+    runs per pair: partitionBy(pair_id) keeps every window scan local to
+    its shuffle partition.
+    """
+    daily = _daily_close(spark, sf_dir)
+    x = daily.filter(F.col("series") == "click").select("day", F.col("close").alias("x"))
+    y = daily.filter(F.col("series") == "purchase").select(
+        "day", F.col("close").alias("y")
+    )
+    j = x.join(y, "day")
+    w = Window.orderBy("day").rowsBetween(-(CORR_WINDOW - 1), Window.currentRow)
+
+    def wsum(c):
+        return F.sum(c.cast(DEC)).over(w).cast("double")
+
+    wins = j.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        wsum(F.col("x")).alias("sx"),
+        wsum(F.col("y")).alias("sy"),
+        wsum(F.col("x") * F.col("y")).alias("sxy"),
+        wsum(F.col("x") * F.col("x")).alias("sxx"),
+        wsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return wins.select(
+        "day",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("corr_7d"),
     )
