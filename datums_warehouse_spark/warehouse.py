@@ -15,6 +15,7 @@ one directory (at 100 TB: one partition subtree, not a scan).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +94,58 @@ class Warehouse:
         """Per-series cursor: (series, max ts, row count)."""
         return self.table().groupBy("series").agg(
             F.max("ts").alias("cursor"), F.count(F.lit(1)).alias("n")
+        )
+
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, target_files_per_series: int = 1) -> int:
+        """Rewrite each series partition into ``target_files_per_series``
+        files, sorted by ts within each file — the small-file maintenance
+        pass every append-based warehouse needs (each ``ingest`` /
+        ``update_incremental`` adds at least one file per series touched).
+
+        Returns the number of rows rewritten. The rewrite goes through a
+        staging directory and an atomic-ish rename so a crash mid-compact
+        leaves the old data readable. At cluster scale the same plan holds:
+        repartition(series) keeps the rewrite one shuffle, sortWithinPartitions
+        gives parquet run-length-friendly pages and min/max ts footers that
+        partition-prune time-range reads.
+        """
+        df = self.table()
+        n = df.count()
+        if n == 0:
+            return 0
+        staging = self.path + ".compact"
+        # repartition on (series, salt): all rows of one series land in at
+        # most `target` shuffle partitions, so the partitionBy write emits
+        # at most `target` files per series directory
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("ts"), F.lit(target_files_per_series))
+        )
+        (
+            salted.repartition("series", "_salt")
+            .drop("_salt")
+            .sortWithinPartitions("series", "ts", "event_id")
+            .write.mode("overwrite")
+            .partitionBy("series")
+            .parquet(staging)
+        )
+        old = self.path + ".old"
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old)
+        return n
+
+    def file_stats(self) -> DataFrame:
+        """Files per series with row counts — the compaction trigger metric."""
+        return (
+            self.table()
+            .select("series", F.input_file_name().alias("file"))
+            .groupBy("series")
+            .agg(
+                F.countDistinct("file").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
         )
 
     # -- analytics ------------------------------------------------------------

@@ -87,3 +87,37 @@ def test_validate_and_gaps(spark, sf_dir, wh):
     assert v.n > 0 and v.n_dup_ts == 0
     g = w.gaps("error", "hour")
     assert g.count() >= 0  # dense grid minus present buckets materializes
+
+
+def test_compact_preserves_data_and_reduces_files(spark, sf_dir, wh):
+    """Three appends -> >=3 files per series; compact() -> 1 file per
+    series with identical rows, and the store stays fully readable."""
+    w, _ = wh
+    feed = _feed(spark, sf_dir)
+    for chunk in (
+        feed.filter(F.col("event_id") % 3 == 0),
+        feed.filter(F.col("event_id") % 3 == 1),
+        feed.filter(F.col("event_id") % 3 == 2),
+    ):
+        w.ingest(chunk)
+    before = {r.series: r.n_files for r in w.file_stats().collect()}
+    assert all(n >= 3 for n in before.values()), before
+    expected = sorted((r.event_id, r.value) for r in w.table().collect())
+
+    n = w.compact()
+    assert n == len(expected)
+    after = {r.series: r.n_files for r in w.file_stats().collect()}
+    assert all(n == 1 for n in after.values()), after
+    got = sorted((r.event_id, r.value) for r in w.table().collect())
+    assert got == expected
+    # still queryable end-to-end after the rename dance
+    assert w.candles("click").count() > 0
+
+
+def test_compact_multiple_target_files(spark, sf_dir, wh):
+    w, _ = wh
+    w.ingest(_feed(spark, sf_dir))
+    w.compact(target_files_per_series=4)
+    after = {r.series: r.n_files for r in w.file_stats().collect()}
+    assert all(1 <= n <= 4 for n in after.values()), after
+    assert w.table().count() == _feed(spark, sf_dir).count()
