@@ -297,3 +297,149 @@ def comp7_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
     )
+
+
+@query(
+    "comp8_late_shipment_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    tags=("composite",),
+)
+def comp8_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped >60 days after
+    order date, counted per priority — EXISTS becomes a left-semi join with
+    a non-equi conjunct on top of the orderkey equi-join (shuffles once on
+    the key; the date predicate evaluates join-side, no explosion)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "comp9_priority_shipment_mix",
+    oracle="""
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS n_priority,
+               count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS n_regular
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_discount >= 0.05
+        GROUP BY 1
+    """,
+    tags=("composite",),
+)
+def comp9_priority_shipment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship month, discounted lines split into
+    priority vs regular orders — conditional aggregation over a fact⋈fact
+    join with the selective line filter pushed below the join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.05)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.count(F.when(urgent, 1)).alias("n_priority"),
+            F.count(F.when(~urgent, 1)).alias("n_regular"),
+        )
+    )
+
+
+@query(
+    "comp10_disjunctive_revenue",
+    oracle=f"""
+        SELECT {sql_dsum(SQL_REVENUE)} AS revenue, count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("composite",),
+)
+def comp10_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    branches — the disjunction splits into a part-side prefilter (brand
+    IN …, the union of branches) that pushes into the broadcast build
+    side, with the full predicate evaluated post-join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "comp11_dormant_rich_customers",
+    oracle="""
+        WITH cutoff AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   / count(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        FROM customer, cutoff
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey
+    """,
+    tags=("composite",),
+)
+def comp11_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never ordered,
+    per nation — a broadcast scalar subquery (the global average), then an
+    anti join against orders. The anti join shuffles on custkey; the
+    one-row cutoff broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("c_acctbal")).alias("avg_bal")
+    )
+    rich = (
+        c.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_bal"),
+    )

@@ -146,6 +146,15 @@ def t6_first_threshold_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- genuine streaming runs (rows-only) --------------------------------------
 
 
+def _await(q, timeout: int = 120) -> None:
+    """awaitTermination with an explicit failure instead of a silent
+    truncated result: a query still running after `timeout` seconds means
+    the availableNow trigger never drained — stop it and raise."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"streaming query did not finish within {timeout}s")
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns ts arrives as long under the
     nanosAsLong conf; convert exactly like the batch path)."""
@@ -187,7 +196,7 @@ def t4_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = agg.writeStream.format("memory").queryName(name).outputMode("append").trigger(
         availableNow=True
     ).start()
-    q.awaitTermination(120)
+    _await(q)
     return spark.table(name)
 
 
@@ -208,7 +217,7 @@ def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     back = spark.read.parquet(data)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -257,5 +266,56 @@ def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     return spark.table(name)
+
+
+@query("t8_stream_stream_join", tags=("T8", "stream"))
+def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to
+    the same user's clicks in the preceding 30 minutes, run as a genuine
+    two-stream microbatch join (rows-only; comp3_funnel_conversion is the
+    batch-graded twin of this shape).
+
+    Both sides carry watermarks and the join has a bounded time range, so
+    Spark can evict buffered rows once the watermark passes — state stays
+    O(30-minute window per user), not O(stream history); the join keys on
+    user_id, which shards state across executors.
+    """
+    name = f"t8_ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("event_id"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "event_id", "purchase_ts", "click_ts", "click_value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    # stable small result: pairs per user (the memory sink holds raw pairs)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
