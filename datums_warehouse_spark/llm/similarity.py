@@ -345,6 +345,112 @@ def l3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ_LEVELS = 255  # uint8 quantization levels
+SQ_TOPK = 5
+
+SQL_SQ_QUANT = f"""
+    stats AS (
+        SELECT pos, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+        FROM (
+            SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+            FROM embeddings
+        )
+        GROUP BY pos
+    ),
+    qv AS (
+        SELECT vec_id, list(q ORDER BY pos) AS q
+        FROM (
+            SELECT e.vec_id, e.pos,
+                   CASE WHEN s.mx = s.mn THEN 0
+                        ELSE least({SQ_LEVELS}, CAST(floor(
+                            (CAST(e.v AS DOUBLE) - s.mn) * ({SQ_LEVELS}.0 / (s.mx - s.mn))
+                        ) AS BIGINT))
+                   END AS q
+            FROM (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ) e JOIN stats s USING (pos)
+        )
+        GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "l3_sq_ann",
+    oracle=f"""
+        WITH {SQL_SQ_QUANT}
+        SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_dot_product(a.q, b.q) AS BIGINT) AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.q, b.q) DESC, b.vec_id
+                   ) AS rn
+            FROM qv a JOIN qv b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+        )
+        WHERE rn <= {SQ_TOPK}
+    """,
+    tags=("L3",),
+)
+def l3_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (uint8) nearest-neighbor search: per-dimension
+    min/max → 8-bit codes → exact integer dot-product top-k.
+
+    The memory-bandwidth scale path: codes are 4× smaller than float32, so
+    a brute-force scan streams 4× more vectors per second (and the integer
+    dot product is SIMD-friendly); this is the SQ8 stage every production
+    IVF index (FAISS IVF-SQ) runs inside each probed cell. Scoring is
+    integer-exact (products ≤ 255²·dim ≪ 2⁵³), so the whole pipeline —
+    quantize, score, rank — is graded against the oracle bit-for-bit.
+
+    The per-dimension stats are dim-sized (64 rows): collected and inlined
+    as literal arrays, the same broadcast-tiny-model shape as IVF
+    centroids. Quantization arithmetic is written identically in both
+    engines ((v - mn) * (LEVELS / (mx - mn)), floor, clamp) so the codes
+    match exactly; a dimension with mx == mn quantizes to 0.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = F.array(*[F.lit(float(r.mn)) for r in stats])
+    mx = F.array(*[F.lit(float(r.mx)) for r in stats])
+
+    def quant(v, i):
+        lo, hi = F.element_at(mn, i + 1), F.element_at(mx, i + 1)
+        code = F.floor((v.cast("double") - lo) * (F.lit(float(SQ_LEVELS)) / (hi - lo)))
+        return F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(F.lit(SQ_LEVELS).cast("long"), code)
+        )
+
+    qv = emb.select("vec_id", F.transform("embedding", quant).alias("q"))
+    a = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    b = qv.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", dot)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SQ_TOPK)
+        .select("query_id", "neighbor_id", "score", "rn")
+    )
+
+
 @query("l3_lsh_ann", tags=("L3",))
 def l3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-projection LSH (rows-only: model hashing

