@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import davg, sql_davg
-from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
 from datums_warehouse_spark.llm.dedup import SQL_SHINGLES, shingles
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import load
@@ -232,8 +231,8 @@ def l13_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l14_fingerprint",
     oracle=f"""
         SELECT doc_id,
-               min({sql_hash48("shingle")}) AS fp_min,
-               max({sql_hash48("shingle")}) AS fp_max,
+               min(h) AS fp_min,
+               max(h) AS fp_max,
                count(*) AS n_shingles
         FROM ({SQL_SHINGLES})
         GROUP BY doc_id
@@ -242,8 +241,9 @@ def l13_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l14_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min/max 3-gram shingle hash (winnowing-lite) —
-    a compact content signature for fast prefiltering."""
-    sh = shingles(load(spark, sf_dir, "documents")).withColumn("h", hash48("shingle"))
+    a compact content signature for fast prefiltering (shingles arrive
+    pre-hashed: identity is the 48-bit hash, see dedup.shingles)."""
+    sh = shingles(load(spark, sf_dir, "documents"))
     return sh.groupBy("doc_id").agg(
         F.min("h").alias("fp_min"),
         F.max("h").alias("fp_max"),
