@@ -133,10 +133,7 @@ SQL_SIGNATURES = f"""
 
 
 
-def sql_jaccard_verify(threshold: float) -> str:
-    """Shared oracle tail: sizes/intersection/Jaccard filter over CTEs
-    ``sh`` (doc_id, h) and ``cand`` (doc_a, doc_b)."""
-    return f"""
+SQL_JACCARD_CTES = """
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT c.doc_a, c.doc_b, count(*) AS ni
@@ -145,6 +142,14 @@ def sql_jaccard_verify(threshold: float) -> str:
             JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
             GROUP BY c.doc_a, c.doc_b
         )
+"""
+
+
+def sql_jaccard_verify(threshold: float) -> str:
+    """Shared oracle tail: sizes/intersection/Jaccard filter over CTEs
+    ``sh`` (doc_id, h) and ``cand`` (doc_a, doc_b)."""
+    return f"""
+        {SQL_JACCARD_CTES}
         SELECT doc_a, doc_b,
                round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
         FROM inter
@@ -245,11 +250,7 @@ def l1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
-
-@query(
-    "l2_minhash_lsh_pairs",
-    oracle=f"""
-        WITH sh AS ({SQL_SHINGLES}),
+SQL_LSH_CAND = f"""
         sigs AS ({SQL_SIGNATURES.replace(SQL_SHINGLES, "SELECT * FROM sh")}),
         bands AS (
             {" UNION ALL ".join(
@@ -261,7 +262,15 @@ JACCARD_THRESHOLD = 0.5
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
                                      AND a.doc_id < b.doc_id
-        ),
+        )
+"""
+
+
+@query(
+    "l2_minhash_lsh_pairs",
+    oracle=f"""
+        WITH sh AS ({SQL_SHINGLES}),
+        {SQL_LSH_CAND},
         {sql_jaccard_verify(JACCARD_THRESHOLD)}
     """,
     tags=("L2",),
@@ -303,6 +312,83 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jaccard_verify(cand, sh, JACCARD_THRESHOLD)
+
+
+# --- L2: near-dup clusters (connected components) ----------------------------
+
+
+
+@query(
+    "l2_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({SQL_SHINGLES}),
+        {SQL_LSH_CAND},
+        {SQL_JACCARD_CTES},
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT u, u AS x FROM edges
+            UNION
+            SELECT r.u, e.v AS x FROM reach r JOIN edges e ON e.u = r.x
+        )
+        SELECT u AS doc_id, min(x) AS cluster_id,
+               u = min(x) AS keep
+        FROM reach GROUP BY u
+    """,
+    tags=("L2", "iterative"),
+)
+def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash/LSH
+    pair graph, via iterative min-label propagation — the keep/drop
+    decision step of a dedup pipeline (cluster_id = smallest doc_id in the
+    component; that doc is the canonical survivor, ``keep`` marks it).
+
+    Each round is one join + one min-aggregate (both shuffle on doc_id);
+    rounds needed = component diameter, and near-dup components are tiny
+    (dup clusters, not a social graph), so 2-4 rounds in practice. At
+    100 TB the same loop runs with alternating large-star/small-star
+    contraction (O(log n) rounds guaranteed) and a lineage checkpoint per
+    round — here ``localCheckpoint`` already truncates the growing plan.
+    The oracle replays it as a recursive reachability CTE.
+    """
+    pairs = l2_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)  # pair pipeline runs once, not per round
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # labels only ever decrease (min-propagation), so Σlabel is a strictly
+    # decreasing convergence witness — one cheap aggregate per round instead
+    # of a join-and-count against the previous state
+    prev_sum = None
+    while True:
+        neigh = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("keep"),
+    )
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -1,12 +1,13 @@
-"""Streaming operators (SURVEY.md §2.9 T2–T7).
+"""Streaming operators (SURVEY.md §2.9 T2–T9).
 
 The reference "streams" by cron-polling the exchange since the last stored
 candle [R]; the genuine Spark equivalents are Structured Streaming
 primitives. Each stateful shape is graded in batch mode against a DuckDB
 oracle (identical semantics — Spark's window/session functions behave the
-same under batch and microbatch); T4/T7 actually run ``readStream`` with
-an ``availableNow`` trigger end-to-end (rows-only: an oracle can't run a
-stream).
+same under batch and microbatch); T4/T6/T7/T8 actually run ``readStream``
+with an ``availableNow`` trigger end-to-end (rows-only: an oracle can't
+run a stream), and T9 (foreachBatch upsert) is a genuine stream whose
+deterministic final table IS oracle-graded.
 
 At scale: watermarks bound state-store size; session/tumbling windows key
 state by (user/series, window) which shards across executors.
@@ -155,6 +156,29 @@ def _await(q, timeout: int = 120) -> None:
         raise RuntimeError(f"streaming query did not finish within {timeout}s")
 
 
+class _few_state_partitions:
+    """Scoped shuffle-partition clamp for the genuine-stream runs.
+
+    A streaming query materializes one state-store instance per shuffle
+    partition, sized at FIRST start and pinned by the checkpoint — under a
+    default session (200 partitions) that's 200 state stores for kilobytes
+    of state each microbatch. These test-scale runs use fresh checkpoints,
+    so clamping to 8 for the duration of the run is safe and cuts the
+    per-batch state overhead ~25×. On a real cluster you'd size this to
+    the state volume (and it stays pinned by the checkpoint thereafter).
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns ts arrives as long under the
     nanosAsLong conf; convert exactly like the batch path)."""
@@ -193,10 +217,11 @@ def t4_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("series", F.col("w.start").alias("bucket"), "n")
     )
-    q = agg.writeStream.format("memory").queryName(name).outputMode("append").trigger(
-        availableNow=True
-    ).start()
-    _await(q)
+    with _few_state_partitions(spark):
+        q = agg.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+            availableNow=True
+        ).start()
+        _await(q)
     return spark.table(name)
 
 
@@ -210,14 +235,15 @@ def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     data, ckpt = os.path.join(out, "data"), os.path.join(out, "ckpt")
     stream = _stream_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", data)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    with _few_state_partitions(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
     back = spark.read.parquet(data)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -259,15 +285,96 @@ def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    with _few_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
     return spark.table(name)
+
+
+@query(
+    "t9_stream_upsert",
+    oracle=f"""
+        SELECT
+          event_type AS series,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+          arg_min(value, ts) AS open, max(value) AS high,
+          min(value) AS low, arg_max(value, ts) AS close,
+          {sql_dsum("value")} AS volume, count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("T9", "stream"),
+)
+def t9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming candle maintenance: an update-mode streaming aggregation
+    whose microbatches are upserted into a parquet candle store via
+    ``foreachBatch`` — the production pattern for keeping a warehouse
+    current from a feed (and the genuine-stream twin of ``s6_merge_upsert``).
+
+    Update mode emits only the (series, hour) bars each microbatch touched;
+    the merge replaces exactly those keys in the store (union ∪ anti-join,
+    dynamic-overwrite shape). Because the upsert is idempotent per key, the
+    final store equals the batch candles — so a real ``readStream`` run is
+    fully ORACLE-GRADED, not rows-only: restarts/retries converge to the
+    same table, which is the exactly-once argument foreachBatch sinks rely
+    on. State shards by (series, bucket); the watermark would bound it on
+    an unbounded feed.
+
+    Fully graded end-to-end: stream → state store → foreachBatch merge →
+    parquet → read-back.
+    """
+    store = os.path.join(
+        tempfile.gettempdir(), "dws_sinks", sf_dir.rstrip("/").split("/")[-1], "t9_store"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("series", F.col("w.start").alias("bucket"), "open", "high", "low", "close", "volume", "n")
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if os.path.exists(store):
+            stored = sp.read.parquet(store)
+            kept = stored.join(
+                batch.select("series", "bucket"), ["series", "bucket"], "left_anti"
+            )
+            merged = batch.unionByName(kept).localCheckpoint(eager=True)
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(store)
+
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"dws_ckpt_t9_{uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        _await(q)
+    return spark.read.parquet(store)
 
 
 @query("t8_stream_stream_join", tags=("T8", "stream"))
@@ -305,14 +412,15 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
     ).select("user_id", "event_id", "purchase_ts", "click_ts", "click_value")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await(q)
+    with _few_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
     # stable small result: pairs per user (the memory sink holds raw pairs)
     return (
         spark.table(name)
