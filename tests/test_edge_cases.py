@@ -170,3 +170,109 @@ def test_chunking_short_doc_single_chunk(spark, fake_documents):
     spark_pdf = TX.l15_doc_chunking(spark, "x").toPandas()
     res = compare_frames("l15_short_docs", spark_pdf, oracle_pdf)
     assert res.ok, res.detail
+
+
+# --- merge / clusters / quantization edge cases (round 2 ops) ----------------
+
+
+@pytest.fixture()
+def wh_tmp(spark):
+    import shutil
+    import tempfile
+
+    from datums_warehouse_spark.warehouse import Warehouse
+
+    root = tempfile.mkdtemp(prefix="dws_wh_edge_")
+    yield Warehouse(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_dedup_clusters_no_pairs_terminates_empty(spark, monkeypatch):
+    """A corpus with no near-dup pairs must yield an empty cluster table
+    after ONE propagation round (the Σlabel witness is None == None), not
+    loop or raise."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en"), (2, "one two three four", "en")],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(DD, "load", lambda s, d, n: df)
+    DD.release_caches()
+    try:
+        assert DD.l2_dedup_clusters(spark, "x").count() == 0
+    finally:
+        DD.release_caches()
+
+
+def test_dedup_clusters_transitive_component(spark, monkeypatch):
+    """A≈B and B≈C but A≉C directly: all three must land in ONE cluster
+    labeled by the smallest doc_id — the transitivity that pairwise dedup
+    misses and clustering exists to provide."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    base = [f"w{i}" for i in range(12)]
+    a = " ".join(base)
+    b = " ".join(base[2:] + ["xa", "xb"])          # overlaps A
+    c = " ".join(base[4:] + ["xa", "xb", "xc", "xd"])  # overlaps B more than A
+    df = spark.createDataFrame(
+        [(10, a, "en"), (20, b, "en"), (30, c, "en")],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(DD, "load", lambda s, d, n: df)
+    DD.release_caches()
+    try:
+        pairs = {(r.doc_a, r.doc_b) for r in DD.l2_minhash_lsh_pairs(spark, "x").collect()}
+        rows = {r.doc_id: r for r in DD.l2_dedup_clusters(spark, "x").collect()}
+    finally:
+        DD.release_caches()
+    if {(10, 20), (20, 30)} <= pairs:  # LSH banding found the chain
+        assert {rows[d].cluster_id for d in (10, 20, 30)} == {10}
+        assert rows[10].keep and not rows[20].keep and not rows[30].keep
+
+
+def test_warehouse_merge_empty_updates_is_noop(spark, sf_dir, wh_tmp):
+    """merge() with an empty batch must leave the store byte-identical."""
+    from datums_warehouse_spark.sources.tables import events_us
+
+    w = wh_tmp
+    feed = events_us(spark, sf_dir).select(
+        "event_id", "ts", F.col("event_type").alias("series"), "value"
+    )
+    w.ingest(feed)
+    before = sorted((r.event_id, r.value) for r in w.table().collect())
+    w.merge(feed.filter(F.lit(False)))
+    after = sorted((r.event_id, r.value) for r in w.table().collect())
+    assert after == before
+
+
+def test_warehouse_merge_bootstrap_empty_store(spark, sf_dir, wh_tmp):
+    """merge() into a never-written warehouse inserts everything."""
+    from datums_warehouse_spark.sources.tables import events_us
+
+    w = wh_tmp
+    feed = events_us(spark, sf_dir).select(
+        "event_id", "ts", F.col("event_type").alias("series"), "value"
+    )
+    w.merge(feed)
+    assert w.table().count() == feed.count()
+
+
+def test_sq_ann_constant_dimension_quantizes_to_zero(spark, monkeypatch):
+    """A dimension with mx == mn must code to 0 (not NaN/overflow) and the
+    extreme values of a varying dimension must hit codes 0 and 255."""
+    import datums_warehouse_spark.llm.similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, [7.5, float(i)], 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(SIM, "load", lambda s, d, n: df)
+    rows = SIM.l3_sq_ann(spark, "x").collect()
+    assert rows and all(0 <= r.score <= 255 * 255 for r in rows)
+    # constant dim contributes nothing, so score = qa1*qb1 with the varying
+    # dim coded 0..255: query 0 codes to 0 → every one of its scores is 0,
+    # and its top-5 then ranks purely by the neighbor_id tie-break
+    q0 = sorted((r.rn, r.neighbor_id, r.score) for r in rows if r.query_id == 0)
+    assert [s for _, _, s in q0] == [0] * 5
+    assert [n for _, n, _ in q0] == [1, 2, 3, 4, 5]
