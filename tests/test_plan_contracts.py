@@ -1,0 +1,110 @@
+"""Physical-plan contracts — the scale properties the 100 TB design relies on.
+
+The oracle gate proves results are right; these tests prove the PLANS are
+right: filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, aggregations combine map-side, top-k never does
+a global sort, and bucketed tables join without a shuffle. A regression in
+any of these keeps results correct while silently destroying scale-out
+behavior — exactly the class of bug a correctness gate can't see.
+
+Plans are inspected pre-execution (AQE may re-optimize at runtime, but
+only starting FROM this plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datums_warehouse_spark import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(name: str, spark, sf_dir: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Comparison predicates must land in the parquet scan's PushedFilters
+    (row-group stats pruning at scale), not evaluate post-scan only."""
+    plan = plan_of("p2_filter_comparison", spark, sf_dir)
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("LessThan" in l or "GreaterThan" in l or "IsNotNull" in l for l in pushed), pushed
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    """Candles touch (ts, series, value) — the scan must not read the
+    events table's other columns (ReadSchema is the column-pruning
+    witness; events also carries event_id, user_id, props)."""
+    plan = plan_of("a8_candles_1h", spark, sf_dir)
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas, plan
+    assert all(
+        "user_id" not in l and "props" not in l and "event_id" not in l for l in schemas
+    ), schemas
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """The star join must broadcast its dimension sides — no shuffle of the
+    fact table against region/nation."""
+    plan = plan_of("j3_star_join", spark, sf_dir)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_is_two_phase(spark, sf_dir):
+    """The candle aggregation must partial-aggregate map-side (partial_*
+    functions before the Exchange) — at scale this is the difference
+    between shuffling rows and shuffling groups."""
+    plan = plan_of("a8_candles_1h", spark, sf_dir)
+    assert "partial_min_by" in plan and "partial_sum" in plan
+    # exactly one shuffle: the final aggregate's
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """orderBy + limit must plan TakeOrderedAndProject (per-partition heap
+    + merge), never a global sort."""
+    plan = plan_of("o4_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank-then-filter must push the k-limit into the window operator
+    (WindowGroupLimit, Spark 3.5+) instead of ranking every row."""
+    plan = plan_of("w7_topk_per_group", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Tables bucketed on the join key must join with zero Exchange below
+    the join — the pay-once layout for repeated fact⋈fact joins."""
+    from datums_warehouse_spark.sources.sinks import s2_bucketed_join
+
+    df = s2_bucketed_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    if "Bucketed: true" not in plan:
+        pytest.skip("catalog unavailable — query fell back to plain scans")
+    # the only shuffle allowed is the final aggregation's
+    assert plan.count("hashpartitioning(") <= 1, plan
+
+
+def test_incremental_read_prunes_partitions(spark, sf_dir):
+    """The merge query's anti/semi joins must broadcast the touched-key
+    set, never shuffle the stored side."""
+    plan = plan_of("s6_merge_upsert", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_sq_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Brute-force ANN must broadcast the small query set over the corpus
+    scan — the corpus side must not move."""
+    plan = plan_of("l3_sq_ann", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
