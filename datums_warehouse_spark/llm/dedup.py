@@ -1,14 +1,21 @@
 """Deduplication operators for training-data pipelines (SURVEY.md §2.11).
 
 Exact (hash group-by), MinHash+LSH (shingle → minhash → band bucket →
-candidate join → Jaccard verify), and SimHash near-dup — all pure DataFrame
-pipelines over cross-engine-portable integer hashing (functions/hashing.py),
-so every stage is graded against the DuckDB oracle, not just smoke-checked.
+candidate join → Jaccard verify), SimHash, exact n-gram Jaccard (inverted
+index), PPJoin-style prefix-filtered exact Jaccard, and connected-components
+clustering of the near-dup graph — all pure DataFrame pipelines over
+cross-engine-portable integer hashing (functions/hashing.py), so every
+stage is graded against the DuckDB oracle, not just smoke-checked.
 
 Scale shape: shingling explodes ~Ntokens rows per doc, minhash reduces back
 to one row per doc (map-side combinable min), the LSH band join only pairs
 docs sharing a bucket — never an all-pairs product. That's the 100 TB path;
-the Jaccard verify join touches candidate pairs only.
+the Jaccard verify join touches candidate pairs only, and the final
+keep/drop decision closes pairs into components (l2_dedup_clusters).
+
+Oracle note: the shared shingle CTE is declared AS MATERIALIZED — DuckDB
+would otherwise inline and recompute the md5 shingling once per reference
+(up to 4× in the multi-stage oracles).
 """
 
 from __future__ import annotations
@@ -269,7 +276,7 @@ SQL_LSH_CAND = f"""
 @query(
     "l2_minhash_lsh_pairs",
     oracle=f"""
-        WITH sh AS ({SQL_SHINGLES}),
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
         {SQL_LSH_CAND},
         {sql_jaccard_verify(JACCARD_THRESHOLD)}
     """,
@@ -321,7 +328,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l2_dedup_clusters",
     oracle=f"""
-        WITH RECURSIVE sh AS ({SQL_SHINGLES}),
+        WITH RECURSIVE sh AS MATERIALIZED ({SQL_SHINGLES}),
         {SQL_LSH_CAND},
         {SQL_JACCARD_CTES},
         pairs AS (
@@ -456,7 +463,7 @@ NGRAM_JACCARD_THRESHOLD = 0.25
 @query(
     "l2_ngram_jaccard_pairs",
     oracle=f"""
-        WITH sh AS ({SQL_SHINGLES}),
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
         src AS (SELECT doc_id, lang FROM documents),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -511,3 +518,75 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --- L2: PPJoin prefix-filtered exact Jaccard --------------------------------
+
+PPJOIN_THRESHOLD = 0.8  # prefix keeps (1-θ)·|d|+1 shingles: pruning power rises with θ
+
+SQL_PPJOIN_CAND = f"""
+        dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+        ranked AS (
+            SELECT s.doc_id, s.h,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id ORDER BY d.df, s.h
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY s.doc_id) AS sz
+            FROM sh s JOIN dfreq d ON d.h = s.h
+        ),
+        prefix AS (
+            SELECT doc_id, h FROM ranked
+            WHERE rn <= sz - CAST(ceil({PPJOIN_THRESHOLD} * sz) AS BIGINT) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+        )
+"""
+
+
+@query(
+    "l2_ppjoin_pairs",
+    oracle=f"""
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
+        {SQL_PPJOIN_CAND},
+        {sql_jaccard_verify(PPJOIN_THRESHOLD)}
+    """,
+    tags=("L2", "scale"),
+)
+def l2_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style prefix filtering — the
+    viral-shingle mitigation for exact all-pairs similarity at 100 TB.
+
+    Order each doc's shingles rarest-first (by global document frequency,
+    ties by hash); two sets with J ≥ θ MUST share a shingle within their
+    first |d| - ⌈θ·|d|⌉ + 1 shingles (prefix-filter principle, PPJoin /
+    Xiao et al.), so the candidate self-join runs on the PREFIX index only.
+    A shingle appearing in millions of docs sorts last and never enters a
+    prefix unless a doc is tiny — Σ df(prefix)² stays bounded where the
+    full inverted index's Σ df(s)² explodes. Exact: same result set as the
+    unpruned join; the Jaccard verify stage is shared with LSH dedup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "h")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("sz", F.count(F.lit(1)).over(w_size))
+    )
+    prefix_len = F.col("sz") - F.ceil(
+        F.lit(PPJOIN_THRESHOLD) * F.col("sz")
+    ).cast("long") + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, PPJOIN_THRESHOLD)

@@ -155,6 +155,22 @@ def test_merge_inserts_new_keys(spark, sf_dir, wh):
     assert w.table().count() == old.count() + batch.count()
 
 
+def test_merge_is_idempotent(spark, sf_dir, wh):
+    """Applying the same update batch twice must equal applying it once —
+    the retry-safety property the t9 foreachBatch sink relies on."""
+    w, _ = wh
+    feed = _feed(spark, sf_dir)
+    w.ingest(feed)
+    updates = feed.filter(F.col("series") == "purchase").withColumn(
+        "value", F.col("value") + 1
+    )
+    w.merge(updates)
+    once = sorted((r.event_id, r.series, r.value) for r in w.table().collect())
+    w.merge(updates)
+    twice = sorted((r.event_id, r.series, r.value) for r in w.table().collect())
+    assert once == twice
+
+
 def test_compact_multiple_target_files(spark, sf_dir, wh):
     w, _ = wh
     w.ingest(_feed(spark, sf_dir))
