@@ -366,31 +366,38 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round — here ``localCheckpoint`` already truncates the growing plan.
     The oracle replays it as a recursive reachability CTE.
     """
+    from datums_warehouse_spark.session import scoped_shuffle_partitions
+
     pairs = l2_minhash_lsh_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .localCheckpoint(eager=True)  # pair pipeline runs once, not per round
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    # labels only ever decrease (min-propagation), so Σlabel is a strictly
-    # decreasing convergence witness — one cheap aggregate per round instead
-    # of a join-and-count against the previous state
-    prev_sum = None
-    while True:
-        neigh = edges.join(
-            labels.select(F.col("u").alias("v"), "label"), "v"
-        ).select("u", "label")
-        labels = (
-            labels.unionByName(neigh)
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    # clamp: each round shuffles a label table of |component vertices| rows
+    # — per-partition task overhead dominates at default partition counts
+    with scoped_shuffle_partitions(spark, 8):
+        labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+        # labels only ever decrease (min-propagation), so Σlabel is a
+        # strictly decreasing convergence witness — one cheap aggregate per
+        # round instead of a join-and-count against the previous state
+        prev_sum = None
+        while True:
+            neigh = edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            ).select("u", "label")
+            # lazy checkpoint: the convergence aggregate right below is the
+            # action that materializes it — one job per round, not two
+            labels = (
+                labels.unionByName(neigh)
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),

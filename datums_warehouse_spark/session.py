@@ -47,3 +47,26 @@ def get_spark(app_name: str = "datums-warehouse-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+class scoped_shuffle_partitions:
+    """Temporarily clamp ``spark.sql.shuffle.partitions``.
+
+    For stages whose data is orders of magnitude smaller than the session's
+    shuffle sizing assumes — iterative loops over tiny label tables, test-
+    scale streaming state stores — where a default session (200 partitions)
+    pays per-partition task/state overhead for kilobytes of data. Restores
+    the previous value on exit; AQE coalescing makes this a no-op for
+    large stages, so it only ever removes overhead.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)

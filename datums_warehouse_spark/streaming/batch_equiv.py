@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import DEC, dsum, sql_dsum
 from datums_warehouse_spark.registry import query
+from datums_warehouse_spark.session import scoped_shuffle_partitions
 from datums_warehouse_spark.sources.tables import events_us
 
 
@@ -156,27 +157,12 @@ def _await(q, timeout: int = 120) -> None:
         raise RuntimeError(f"streaming query did not finish within {timeout}s")
 
 
-class _few_state_partitions:
-    """Scoped shuffle-partition clamp for the genuine-stream runs.
-
-    A streaming query materializes one state-store instance per shuffle
-    partition, sized at FIRST start and pinned by the checkpoint — under a
-    default session (200 partitions) that's 200 state stores for kilobytes
-    of state each microbatch. These test-scale runs use fresh checkpoints,
-    so clamping to 8 for the duration of the run is safe and cuts the
-    per-batch state overhead ~25×. On a real cluster you'd size this to
-    the state volume (and it stays pinned by the checkpoint thereafter).
-    """
-
-    def __init__(self, spark: SparkSession, n: int = 8):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+# Streaming queries materialize one state-store instance per shuffle
+# partition, sized at FIRST start and pinned by the checkpoint — these
+# test-scale runs use fresh checkpoints, so the scoped clamp is safe and
+# cuts per-batch state overhead ~25× under a default (200-partition)
+# session. On a real cluster you'd size this to the state volume.
+_few_state_partitions = scoped_shuffle_partitions
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
