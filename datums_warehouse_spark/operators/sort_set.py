@@ -181,3 +181,88 @@ def o5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"click": 0.05, "view": 0.05, "purchase": 0.5, "signup": 0.5, "error": 1.0}
     sampled = e.sampleBy("event_type", fractions, seed=42)
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# --- O6: Z-order data layout -------------------------------------------------
+
+ZBITS = 16
+ZPAGE = 2048  # rows per layout page
+
+
+def _interleave_expr(x: str, y: str, shr: str) -> str:
+    """Morton interleave of two 16-bit values — one expression string,
+    rendered per dialect only in the shift operator (`shr` = 'shiftright'
+    for Spark, '>>'-style lambda for DuckDB builds below)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({shr}({x}, {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shr}({y}, {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _interleave_expr("xdim", "ydim", "shiftright")
+_Z_DUCK = _interleave_expr("xdim", "ydim", "__shr")
+for _i in range(ZBITS):
+    _Z_DUCK = _Z_DUCK.replace(f"__shr(xdim, {_i})", f"(xdim >> {_i})").replace(
+        f"__shr(ydim, {_i})", f"(ydim >> {_i})"
+    )
+
+
+@query(
+    "o6_zorder_layout",
+    oracle=f"""
+        WITH dims AS (
+            SELECT event_id,
+                   CAST((epoch_us(ts) // 3600000000) % {1 << ZBITS} AS BIGINT) AS xdim,
+                   CAST(user_id % {1 << ZBITS} AS BIGINT) AS ydim
+            FROM events
+        ),
+        keyed AS (
+            SELECT *, {_Z_DUCK} AS zkey,
+                   row_number() OVER (ORDER BY {_Z_DUCK}, event_id) AS rn
+            FROM dims
+        )
+        SELECT CAST((rn - 1) // {ZPAGE} AS BIGINT) AS page,
+               count(*) AS n,
+               min(xdim) AS x_min, max(xdim) AS x_max,
+               min(ydim) AS y_min, max(ydim) AS y_max
+        FROM keyed
+        GROUP BY 1
+    """,
+    tags=("O6", "scale"),
+)
+def o6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: interleave the bits of the time bucket
+    and the user bucket, sort by the interleaved key, cut into pages, and
+    report each page's (x, y) bounding box — the multi-dimensional
+    clustering pass (Delta/Iceberg ``OPTIMIZE ZORDER BY``) that makes
+    min/max footer pruning effective on BOTH dimensions at once.
+
+    A ts-sorted layout gives every page the full user range (point lookups
+    on user scan everything); Z-ordering bounds each page's span in both
+    dims to ~√(pages) cells, so a predicate on either dimension prunes ~all
+    pages (tests assert the span contraction). At 100 TB this is
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` at write time —
+    the global sort here is the same range-exchange shape. The interleave
+    is pure integer bit math generated from ONE template for both engines.
+    """
+    from pyspark.sql import Window
+
+    e = events_us(spark, sf_dir)
+    dims = e.select(
+        "event_id",
+        (F.floor(F.unix_micros("ts") / 3600000000) % (1 << ZBITS)).alias("xdim"),
+        F.pmod("user_id", F.lit(1 << ZBITS)).cast("long").alias("ydim"),
+    )
+    keyed = dims.withColumn("zkey", F.expr(_Z_SPARK))
+    w = Window.orderBy("zkey", "event_id")
+    paged = keyed.withColumn(
+        "page", ((F.row_number().over(w) - 1) / ZPAGE).cast("long")
+    )
+    return paged.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("xdim").alias("x_min"),
+        F.max("xdim").alias("x_max"),
+        F.min("ydim").alias("y_min"),
+        F.max("ydim").alias("y_max"),
+    )

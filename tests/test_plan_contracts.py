@@ -108,3 +108,24 @@ def test_sq_ann_broadcasts_queries_not_corpus(spark, sf_dir):
     scan — the corpus side must not move."""
     plan = plan_of("l3_sq_ann", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zorder_pages_bound_both_dimensions(spark, monkeypatch):
+    """Z-ordered pages must be selective on BOTH dims: a ts-sorted layout
+    gives every page the full user span, so predicates on user prune
+    nothing; the Morton layout must contract the median span of each
+    dimension well below its global range (measured at 256-row pages on
+    sf0.01 for enough pages to see the curve)."""
+    import statistics
+
+    import datums_warehouse_spark.operators.sort_set as SS
+
+    monkeypatch.setattr(SS, "ZPAGE", 256)
+    rows = SS.o6_zorder_layout(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 30
+    gx = max(r.x_max for r in rows) - min(r.x_min for r in rows)
+    gy = max(r.y_max for r in rows) - min(r.y_min for r in rows)
+    med_x = statistics.median(r.x_max - r.x_min for r in rows)
+    med_y = statistics.median(r.y_max - r.y_min for r in rows)
+    assert med_x <= 0.3 * gx, (med_x, gx)
+    assert med_y <= 0.7 * gy, (med_y, gy)
