@@ -344,3 +344,44 @@ def l16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "l17_heavy_hitters",
+    oracle="""
+        SELECT lang, tok, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT lang, tok, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY count(*) DESC, tok
+                   ) AS rnk
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY lang, tok
+        )
+        WHERE rnk <= 10
+    """,
+    tags=("L17",),
+)
+def l17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens per language — the vocabulary audit /
+    stopword-discovery pass of a corpus pipeline.
+
+    Exact counts via one hash aggregate keyed (lang, token) with map-side
+    combine, then per-language WindowGroupLimit top-k (ties by token so
+    both engines pick identical rows). At 100 TB the exact aggregate is
+    still the right shape (vocab ≪ corpus); a Misra-Gries/count-min sketch
+    would only be needed per-unbounded-stream.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tok")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )

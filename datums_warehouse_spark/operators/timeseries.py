@@ -593,3 +593,73 @@ def x7_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("corr_7d"),
     )
+
+
+M4_BUCKETS_PER_DAY = 4  # "pixel" width: 6 hours
+
+
+@query(
+    "x8_m4_downsample",
+    oracle=f"""
+        WITH px AS (
+            SELECT event_type AS series,
+                   time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,
+                   epoch_us(ts) AS ts_us, event_id, value
+            FROM events
+        ),
+        marks AS (
+            -- tie-break: duplicate ts within a pixel would make arg_min/max
+            -- partition-order-dependent; pack (ts_us, event_id) into one
+            -- exact integer key (event_id < 10^7 by the testdata contract)
+            SELECT series, bucket,
+                   min(value) AS v_min, max(value) AS v_max,
+                   arg_min(value, ts_us::HUGEINT * 10000000 + event_id) AS v_first,
+                   arg_max(value, ts_us::HUGEINT * 10000000 + event_id) AS v_last,
+                   min(ts_us) AS t_first, max(ts_us) AS t_last,
+                   count(*) AS n
+            FROM px GROUP BY series, bucket
+        )
+        SELECT series, bucket, v_min, v_max, v_first, v_last,
+               t_first, t_last, n
+        FROM marks
+    """,
+    tags=("X8",),
+)
+def x8_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling: per (series, pixel bucket) keep the
+    min, max, first, and last values — the canonical error-free line-chart
+    downsample (M4, Jugel et al., VLDB 2014) and the shape a charting REST
+    endpoint serves instead of raw points [R: the reference's REST reads
+    feed charts].
+
+    One hash aggregate over pixel buckets — the same single-shuffle plan as
+    candles (A8); a 100 TB series downsamples to width×4 points no matter
+    how many raw rows back it. first/last order on (ts_us, event_id) packed
+    into one exact integer key — duplicate timestamps within a pixel would
+    otherwise make the pick partition-order-dependent (the j9 tie-break
+    lesson, ADVICE r1).
+    """
+    e = events_us(spark, sf_dir)
+    ts_us = F.unix_micros("ts")
+    # 6h pixel buckets, epoch-aligned exactly like DuckDB's time_bucket
+    bucket = F.timestamp_seconds(F.floor(ts_us / (6 * 3600 * 1_000_000)) * 6 * 3600)
+    okey = F.col("ts_us").cast("decimal(27,0)") * 10000000 + F.col("event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("series"),
+            bucket.alias("bucket"),
+            ts_us.alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        .groupBy("series", "bucket")
+        .agg(
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", okey).alias("v_first"),
+            F.max_by("value", okey).alias("v_last"),
+            F.min("ts_us").alias("t_first"),
+            F.max("ts_us").alias("t_last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
