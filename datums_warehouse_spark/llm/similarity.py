@@ -477,3 +477,106 @@ def l3_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.vec_id").alias("neighbor_id"),
         F.round("dist", 6).alias("dist"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+
+MRL_DIMS = 16      # prefix dims for the cheap first stage
+MRL_SHORTLIST = 20
+MRL_TOPK = 5
+
+_SQL_PREF = "list_transform({v}[1:" + str(MRL_DIMS) + "], x -> CAST(x AS DOUBLE))"
+SQL_PREF_DDOT = f"list_dot_product({_SQL_PREF.format(v='{a}')}, {_SQL_PREF.format(v='{b}')})"
+
+
+@query(
+    "l3_matryoshka_ann",
+    oracle=f"""
+        WITH normed AS (
+            SELECT vec_id, embedding,
+                   sqrt({SQL_DDOT.format(a="embedding", b="embedding")}) AS norm,
+                   sqrt({SQL_PREF_DDOT.format(a="embedding", b="embedding")}) AS pnorm
+            FROM embeddings
+        ),
+        shortlist AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM normed q JOIN normed c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {SQL_PREF_DDOT.format(a="q.embedding", b="c.embedding")}
+                         / (q.pnorm * c.pnorm) DESC, c.vec_id
+            ) <= {MRL_SHORTLIST}
+        )
+        SELECT query_id, neighbor_id,
+               round({SQL_DDOT.format(a="q.embedding", b="c.embedding")}
+                     / (q.norm * c.norm), 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {SQL_DDOT.format(a="q.embedding", b="c.embedding")}
+                            / (q.norm * c.norm) DESC, neighbor_id
+               ) AS BIGINT) AS rn
+        FROM shortlist s
+        JOIN normed q ON q.vec_id = s.query_id
+        JOIN normed c ON c.vec_id = s.neighbor_id
+        QUALIFY rn <= {MRL_TOPK}
+    """,
+    tags=("L3",),
+)
+def l3_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over Matryoshka-style embedding prefixes:
+    shortlist by cosine on the first 16 dims (4× less arithmetic and
+    memory traffic), then rerank the shortlist with the full 64-dim
+    cosine — the cheap-prefilter / exact-rerank pattern production
+    retrieval runs (MRL prefixes, PQ/SQ codes, or int8 all slot into the
+    same two-stage plan).
+
+    Stage 1 scans the corpus once per query batch (broadcast queries, like
+    l3_cosine_topk) but on prefix slices; stage 2 touches only
+    |queries| × SHORTLIST rows. Both stages are exact deterministic
+    arithmetic with id tie-breaks, so the full two-stage pipeline is
+    oracle-graded.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    pref = F.slice("embedding", 1, MRL_DIMS)
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(ddot("embedding", "embedding")).alias("norm"),
+        F.sqrt(ddot(pref, pref)).alias("pnorm"),
+        pref.alias("pref"),
+    )
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("pref").alias("q_pref"),
+            F.col("pnorm").alias("q_pnorm"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    c1 = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("pref").alias("c_pref"),
+        F.col("pnorm").alias("c_pnorm"),
+    )
+    pcos = ddot("q_pref", "c_pref") / (F.col("q_pnorm") * F.col("c_pnorm"))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(), "neighbor_id")
+    shortlist = (
+        q.join(c1, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("pcos", pcos)
+        .withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= MRL_SHORTLIST)
+        .select("query_id", "neighbor_id", "q_emb", "q_norm")
+    )
+    c2 = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = ddot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), "neighbor_id")
+    return (
+        shortlist.join(c2, "neighbor_id")
+        .withColumn("cosine_raw", cos)
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= MRL_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )
