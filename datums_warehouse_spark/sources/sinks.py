@@ -194,3 +194,56 @@ def s2_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity").alias("total_qty"))
     )
+
+
+@query(
+    "s7_schema_evolution",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n,
+               {sql_dsum("value")} AS total_value,
+               count(batch_tag) AS n_tagged
+        FROM (
+            SELECT event_type, value, NULL AS batch_tag
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_type, value, 'v2' AS batch_tag
+            FROM events WHERE event_id % 2 = 1
+        )
+        GROUP BY event_type
+    """,
+    tags=("S7",),
+)
+def s7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: batch 1 is written with the
+    original columns, batch 2 adds a ``batch_tag`` column; a mergeSchema
+    read unifies them (old rows surface NULL for the new column) — the
+    additive-evolution path every long-lived warehouse needs when the feed
+    gains fields.
+
+    Graded through the real on-disk round-trip: the aggregate over the
+    merged read must match the oracle's UNION-with-NULL construction,
+    proving both value fidelity and the NULL semantics of the filled
+    column. At 100 TB the same read works per-partition — footer schemas
+    differ per file, reconciled at planning time; writing the union back
+    (compaction) retires the schema debt.
+    """
+    out = _sink_dir("s7_evolution", sf_dir)
+    e = events_us(spark, sf_dir).select("event_id", "event_type", "value")
+    e.filter(F.col("event_id") % 2 == 0).drop("event_id").write.parquet(
+        os.path.join(out, "b1")
+    )
+    (
+        e.filter(F.col("event_id") % 2 == 1)
+        .drop("event_id")
+        .withColumn("batch_tag", F.lit("v2"))
+        .write.parquet(os.path.join(out, "b2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "b1"), os.path.join(out, "b2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+        F.count("batch_tag").alias("n_tagged"),
+    )
