@@ -121,6 +121,19 @@ SQL_X3_ORACLE = f"""
 """
 
 
+def fill_linear(hourly: DataFrame) -> DataFrame:
+    """Linear-interpolate missing closes over the dense per-series grid.
+
+    Input: (series, bucket, close) at one grain; output adds interpolated
+    values and a ``filled`` flag. The shared core of the graded
+    ``x3_interpolate_linear`` and ``Warehouse.interpolate`` — dense grid ⟕
+    closes, then carry (prev, next) non-null closes with two keyed window
+    scans; edge buckets take the nearest present value.
+    """
+    joined = _grid(hourly).join(hourly, ["series", "bucket"], "left")
+    return _fill_linear_joined(joined)
+
+
 @query("x3_interpolate_linear", oracle=SQL_X3_ORACLE, tags=("X3",))
 def x3_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of missing hourly closes (the reference's
@@ -130,9 +143,10 @@ def x3_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     row offsets with two keyed window scans; blend is pure IEEE arithmetic
     written identically in both engines, so values match bit-for-bit.
     """
-    hourly = _hourly_close(spark, sf_dir)
-    joined = _grid(hourly).join(hourly, ["series", "bucket"], "left")
+    return fill_linear(_hourly_close(spark, sf_dir))
 
+
+def _fill_linear_joined(joined: DataFrame) -> DataFrame:
     w = Window.partitionBy("series").orderBy("bucket")
     w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)

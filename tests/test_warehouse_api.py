@@ -155,6 +155,28 @@ def test_merge_inserts_new_keys(spark, sf_dir, wh):
     assert w.table().count() == old.count() + batch.count()
 
 
+def test_interpolate_fills_gaps_densely(spark, sf_dir, wh):
+    """interpolate(): one row per grid bucket with no nulls, present
+    buckets unchanged, filled buckets flagged and bounded by their
+    neighbors' value range."""
+    w, _ = wh
+    w.ingest(_feed(spark, sf_dir))
+    filled = w.interpolate("click").collect()
+    assert filled and all(r.close_interp is not None for r in filled)
+    buckets = sorted(r.bucket for r in filled)
+    # dense hourly grid: consecutive buckets are exactly one hour apart
+    deltas = {int((b - a).total_seconds()) for a, b in zip(buckets, buckets[1:])}
+    assert deltas == {3600}
+    # present buckets carry their true close
+    candles = {r.bucket: r.close for r in w.candles("click").collect()}
+    for r in filled:
+        if not r.filled:
+            assert r.close_interp == candles[r.bucket]
+    lo = min(v for v in candles.values())
+    hi = max(v for v in candles.values())
+    assert all(lo <= r.close_interp <= hi for r in filled if r.filled)
+
+
 def test_merge_is_idempotent(spark, sf_dir, wh):
     """Applying the same update batch twice must equal applying it once —
     the retry-safety property the t9 foreachBatch sink relies on."""
