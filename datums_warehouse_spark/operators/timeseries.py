@@ -677,3 +677,82 @@ def x8_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+ZS_WINDOW = 24  # trailing buckets per anomaly window
+
+
+@query(
+    "x9_rolling_zscore",
+    oracle=f"""
+        WITH hourly AS ({SQL_HOURLY_CLOSE}),
+        rolled AS (
+            SELECT series, bucket, close,
+                   count(*) OVER w AS n,
+                   CAST(SUM(CAST(close AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(close * close AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s2
+            FROM hourly
+            WINDOW w AS (PARTITION BY series ORDER BY bucket
+                         ROWS BETWEEN {ZS_WINDOW - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT series, bucket, close,
+               round(CASE WHEN n > 1 AND v > 0
+                          THEN (close - s1 / n) / sqrt(v) END, 6) AS z,
+               CASE WHEN n > 1 AND v > 0
+                    THEN abs(close - s1 / n) > 3 * sqrt(v)
+                    ELSE FALSE END AS is_anomaly
+        FROM (
+            SELECT *, greatest((s2 - s1 * (s1 / n)) / greatest(n - 1, 1), 0) AS v
+            FROM rolled
+        )
+    """,
+    tags=("X9",),
+)
+def x9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each hourly close scored against the
+    trailing 24-bucket mean/σ of its own series — the rolling variant of
+    X4's global outlier pass and the alert rule a live feed runs (a level
+    shift is anomalous against recent history long before it moves the
+    global σ).
+
+    Decimal-exact trailing sums (Σx, Σx²) feed the same sample-variance
+    identity as X4, so mean and σ are bit-identical cross-engine; one
+    keyed window scan, no self-join — at 100 TB the window state is
+    24 rows per series per task. Windows shorter than 2 points (or with
+    zero variance) yield NULL z and no flag, guarded identically on both
+    sides.
+    """
+    hourly = _hourly_close(spark, sf_dir)
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(-(ZS_WINDOW - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(F.col("close").cast(DEC)).over(w).cast("double")
+    s2 = F.sum((F.col("close") * F.col("close")).cast(DEC)).over(w).cast("double")
+    # greatest(n-1, 1): single-point windows are guarded to NULL z / False
+    # flag below, but ANSI Spark would raise on the 0 denominator before the
+    # guard applies — the clamped denominator never reaches the output
+    # variance clamped at 0: cancellation in s2 - s1*mu can go a few ulps
+    # negative on constant windows (DuckDB's sqrt raises there, Spark yields
+    # NaN) — clamped, both guards see v == 0 and emit NULL z / False flag
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n")))
+        / F.greatest(F.col("n") - 1, F.lit(1)),
+        F.lit(0.0),
+    )
+    mu = F.col("s1") / F.col("n")
+    guard = (F.col("n") > 1) & (var > 0)
+    z = F.when(guard, (F.col("close") - mu) / F.sqrt(var))
+    flag = F.when(guard, F.abs(F.col("close") - mu) > 3 * F.sqrt(var)).otherwise(False)
+    return (
+        hourly.select("series", "bucket", "close", n.alias("n"), s1.alias("s1"), s2.alias("s2"))
+        .select(
+            "series",
+            "bucket",
+            "close",
+            F.round(z, 6).alias("z"),
+            flag.alias("is_anomaly"),
+        )
+    )
