@@ -222,3 +222,50 @@ def w7_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "w8_sliding_distinct_users",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT d.day AS day, count(DISTINCT p.user_id) AS active_users_7d
+        FROM days d
+        JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    """,
+    tags=("W8",),
+)
+def w8_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding-uniques
+    metric (DAU/WAU) Spark has no native operator for: COUNT(DISTINCT)
+    OVER a moving frame isn't supported, so each (user, day) pair is
+    exploded into the ≤7 future days it covers, deduplicated, and counted —
+    a linear explode-and-aggregate instead of a per-row set union.
+
+    Scale shape: input reduces to distinct (user, day) FIRST (one combinable
+    aggregate), so the 7× explode multiplies days-per-user, not raw events;
+    everything shuffles on small keys. The oracle states the same metric
+    directly as a range join.
+    """
+    e = events_us(spark, sf_dir)
+    pairs = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day", F.col("day") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )  # no pre-distinct: countDistinct dedups in-aggregate, one less shuffle
+    return (
+        covered.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
