@@ -170,3 +170,43 @@ def a8_candles_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("volume"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "a8_candles_15m",
+    oracle=f"""
+        SELECT
+          event_type AS series,
+          time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+          arg_min(value, ts) AS open,
+          max(value) AS high,
+          min(value) AS low,
+          arg_max(value, ts) AS close,
+          {sql_dsum("value")} AS volume,
+          count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("A8",),
+)
+def a8_candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-hour OHLCV bars (15-minute buckets) — the reference stores
+    packets per interval down to one minute [R]; date_trunc can't express
+    sub-hour grains, so the bucket is epoch arithmetic
+    (floor(epoch_us / 900e6) · 900s), epoch-aligned exactly like DuckDB's
+    time_bucket. Same single hash-aggregate plan as the hourly flagship —
+    grain changes the key cardinality, never the plan."""
+    e = events_us(spark, sf_dir)
+    ts_us = F.unix_micros("ts")
+    bucket = F.timestamp_seconds(F.floor(ts_us / (900 * 1_000_000)) * 900)
+    return (
+        e.groupBy(F.col("event_type").alias("series"), bucket.alias("bucket"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
