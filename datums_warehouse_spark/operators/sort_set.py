@@ -160,6 +160,35 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.subtract(buys)
 
 
+@query(
+    "u5_except_all",
+    oracle="""
+        SELECT user_id, n_views - n_buys AS n_unmatched FROM (
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buys
+            FROM events GROUP BY user_id
+        )
+        WHERE n_views > n_buys
+    """,
+    tags=("U5",),
+)
+def u5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each user's view rows minus one per
+    purchase row — multiplicity-aware difference, a different operator
+    from U4's distinct EXCEPT (Spark ``exceptAll``, planned as an
+    aggregate of signed counts rather than an anti join). Graded on the
+    surviving multiplicity per user, which pins the bag arithmetic."""
+    e = events_us(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        views.exceptAll(buys)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_unmatched"))
+    )
+
+
 @query("o5_table_sample", tags=("O5", "sampling"))
 def o5_table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli table sample, seeded (rows-only: sampling RNG is
