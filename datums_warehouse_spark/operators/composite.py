@@ -443,3 +443,354 @@ def comp11_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_customers"),
         dsum("c_acctbal").alias("total_bal"),
     )
+
+
+@query(
+    "comp12_local_supplier_volume",
+    oracle=f"""
+        SELECT n_name, {sql_dsum(SQL_REVENUE)} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    tags=("composite",),
+)
+def comp12_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share
+    the nation, scoped to one region and one order year. The distinctive
+    piece is the *cross-table* equi-conjunct c_nationkey = s_nationkey,
+    which rides on the supplier join rather than a filter. nation⋈region
+    broadcast; the two fact joins shuffle on their keys; the year filter
+    pushes into the orders scan."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(nr, s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "comp13_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("composite",),
+)
+def comp13_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan-aggregate under three conjunctive
+    range predicates — the canonical predicate-pushdown probe. All three
+    filters reach the parquet reader as PushedFilters; the global aggregate
+    is a partial-per-partition + single final reduce (no keyed shuffle).
+    The discount bounds compare identical parquet doubles against identical
+    literals in both engines, so the row set is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "comp14_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year, {sql_dsum("volume")} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("composite",),
+)
+def comp14_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. nation joins twice under different roles (supplier side n1,
+    customer side n2) — both broadcast — and the disjunctive nation-pair
+    predicate evaluates after both are attached. year() is cast to long to
+    match DuckDB's BIGINT."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dsum(volume).alias("revenue"))
+    )
+
+
+@query(
+    "comp15_national_market_share",
+    oracle=f"""
+        SELECT o_year,
+               round({sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+                     / {sql_dsum("volume")}, 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        )
+        GROUP BY o_year
+    """,
+    tags=("composite",),
+)
+def comp15_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of STANDARD-part order volume sold
+    into AMERICA, per order year — an 8-table join where nation serves two
+    roles (customer→region scoping via n1, supplier labelling via n2), with
+    the share as a conditional-sum / total-sum ratio (both decimal-exact,
+    divided once, rounded at a representable boundary)."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = F.broadcast(
+        nat.join(r, nat.n_regionkey == r.r_regionkey).select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat3 = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(dsum(nat3) / dsum(volume), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "comp16_product_profit",
+    oracle=f"""
+        SELECT nation, o_year, {sql_dsum("amount")} AS profit
+        FROM (
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        )
+        GROUP BY nation, o_year
+    """,
+    tags=("composite",),
+)
+def comp16_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts per supplier nation and order
+    year — the LIKE-filtered part list broadcasts into lineitem, then
+    supplier/orders/nation attach. The testdata has no partsupp table, so
+    the classic ``- ps_supplycost * l_quantity`` term is absent and profit
+    degenerates to discounted revenue; the join/filter/rollup shape (the
+    part of Q9 that stresses an engine) is intact."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("profit"))
+    )
+
+
+@query(
+    "comp17_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {sql_dsum(SQL_REVENUE)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("composite",),
+)
+def comp17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    an aggregate-derived view consumed twice (per-supplier revenue, and its
+    global max as a scalar subquery). The revenue view is computed once and
+    reused; the one-row max broadcasts into the equality filter. Revenue is
+    decimal-exact on both engines, so the double equality against the max
+    is exact, and ties (all max suppliers) surface identically."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "comp18_waiting_suppliers",
+    oracle="""
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM lo l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.late
+          AND EXISTS (
+              SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lo l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.late
+          )
+        GROUP BY s_name
+    """,
+    tags=("composite",),
+)
+def comp18_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late shipper on a
+    finished multi-supplier order (late ≡ shipped >60 days after the order
+    date, the same lateness proxy as comp8 — the testdata carries no
+    commit/receipt dates). The EXISTS / NOT-EXISTS pair decorrelates into
+    one per-order aggregate — distinct-supplier count and distinct-late-
+    supplier count — joined back on l_orderkey: one shuffle on the order
+    key serves both subqueries, instead of two correlated re-scans of
+    lineitem. A late line qualifies iff its order has >1 supplier and
+    exactly one late supplier (necessarily its own)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
