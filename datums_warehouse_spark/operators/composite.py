@@ -766,12 +766,13 @@ def comp18_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *sole* late shipper on a
     finished multi-supplier order (late ≡ shipped >60 days after the order
     date, the same lateness proxy as comp8 — the testdata carries no
-    commit/receipt dates). The EXISTS / NOT-EXISTS pair decorrelates into
-    one per-order aggregate — distinct-supplier count and distinct-late-
-    supplier count — joined back on l_orderkey: one shuffle on the order
-    key serves both subqueries, instead of two correlated re-scans of
-    lineitem. A late line qualifies iff its order has >1 supplier and
-    exactly one late supplier (necessarily its own)."""
+    commit/receipt dates). Instead of decorrelating the EXISTS / NOT-EXISTS
+    pair into a per-order aggregate self-joined back (two lineitem scans,
+    two shuffles on the order key), both subqueries become window
+    collect_sets over ``partitionBy(l_orderkey)``: a late line qualifies
+    iff its order's supplier set has >1 member and its late-supplier set
+    exactly one (necessarily its own). One lineitem scan, and the window
+    reuses the order-join's key partitioning."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -781,15 +782,13 @@ def comp18_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.withColumn("supps", F.collect_set("l_suppkey").over(w)).withColumn(
+        "late_supps", F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        lo.filter(F.col("late") & (F.size("supps") > 1) & (F.size("late_supps") == 1))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -129,3 +129,36 @@ def test_zorder_pages_bound_both_dimensions(spark, monkeypatch):
     med_y = statistics.median(r.y_max - r.y_min for r in rows)
     assert med_x <= 0.3 * gx, (med_x, gx)
     assert med_y <= 0.7 * gy, (med_y, gy)
+
+
+def test_q6_scan_aggregate_has_no_shuffle(spark, sf_dir):
+    """comp13 (TPC-H Q6) must be a pure scan-aggregate: all three range
+    predicates pushed to the parquet reader, zero keyed shuffles (the only
+    exchange is the final single-partition reduce)."""
+    plan = plan_of("comp13_forecast_revenue", spark, sf_dir)
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_quantity" in pushed, pushed
+    assert plan.count("hashpartitioning(") == 0, plan
+
+
+def test_q8_dims_broadcast_single_shuffle(spark, sf_dir):
+    """comp15 (TPC-H Q8): an 8-table join whose only keyed shuffle is the
+    final per-year aggregate — part/supplier/orders/customer/nation/region
+    all attach broadcast-side at this scale, and the selective p_type and
+    o_orderdate filters reach their scans."""
+    plan = plan_of("comp15_national_market_share", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(p_type,STANDARD)" in pushed, pushed
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """comp18 (TPC-H Q21): the window formulation must read lineitem ONCE —
+    the EXISTS/NOT-EXISTS self-join formulation would scan it twice — and
+    keep to ≤2 keyed shuffles (the order window + the final group-by)."""
+    plan = plan_of("comp18_waiting_suppliers", spark, sf_dir)
+    scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert len(scans) == 1, scans
+    assert plan.count("hashpartitioning(") <= 2, plan
