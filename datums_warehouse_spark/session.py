@@ -40,9 +40,6 @@ def get_spark(app_name: str = "datums-warehouse-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-        # type for; read as long and convert (sources.tables.events_us).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

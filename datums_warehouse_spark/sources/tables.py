@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -37,18 +37,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path(sf_dir, name))
 
 
-def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` normalized to microsecond-precision timestamp.
+# Wall-clock micros since epoch for a TIMESTAMP_NTZ column, independent of
+# the session timezone (pure NTZ arithmetic — no LTZ cast in the middle).
+_NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
 
-    The parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark has no type
-    for — with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as an
-    int64 of nanoseconds since epoch. We truncate to µs (Spark's timestamp
-    resolution). DuckDB keeps ns, so oracle SQL touching raw ``ts`` must
-    bucket/cast to µs or coarser on its side too (FIXTURES.md).
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to canonical TimestampType.
+
+    The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark has no
+    native type for; depending on the Spark version/session it arrives as
+    int64 nanoseconds (legacy ``nanosAsLong`` sessions) or TIMESTAMP_NTZ
+    (pyspark >= 4.1, which ignores that conf). The canonical form is
+    TimestampType whose UTC wall clock equals the stored naive wall clock —
+    so ``unix_micros``/``withWatermark``/window functions all work and every
+    downstream site sees one type regardless of how the session was built.
+    All three conversions are session-timezone-independent. DuckDB keeps ns;
+    oracle SQL touching raw ``ts`` buckets/casts to µs or coarser too
+    (FIXTURES.md). Works on both batch and streaming DataFrames.
     """
-    # Runtime-settable SQL conf; the driver's own SparkSession won't have it.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = load(spark, sf_dir, "events")
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):  # ns since epoch, truncate to µs
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(_NTZ_EPOCH_US.format(col=col))))
+    return df  # already TimestampType
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` normalized to microsecond-precision TIMESTAMP
+    (see :func:`normalize_ts` — handles every arrival type of the parquet
+    TIMESTAMP(NANOS) column without relying on session confs)."""
+    return normalize_ts(load(spark, sf_dir, "events"))

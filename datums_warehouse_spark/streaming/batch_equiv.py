@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from datums_warehouse_spark.functions.determinism import DEC, dsum, sql_dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.session import scoped_shuffle_partitions
-from datums_warehouse_spark.sources.tables import events_us
+from datums_warehouse_spark.sources.tables import events_us, normalize_ts
 
 
 @query(
@@ -166,9 +166,9 @@ _few_state_partitions = scoped_shuffle_partitions
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ns ts arrives as long under the
-    nanosAsLong conf; convert exactly like the batch path)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet; ``ts`` normalized to canonical
+    TimestampType exactly like the batch path (sources.tables.normalize_ts —
+    ``withWatermark`` requires TIMESTAMP, rejects TIMESTAMP_NTZ)."""
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file-stream source requires a directory of files (it tails the
     # dir for new arrivals); the read-only testdata is one file per table,
@@ -180,9 +180,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(dst):
         shutil.copyfile(f"{sf_dir}/events.parquet", dst)
     stream = spark.readStream.schema(batch.schema).parquet(land)
-    if dict(batch.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ts(stream)
 
 
 @query("t4_watermark_stream", tags=("T4",))
