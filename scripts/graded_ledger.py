@@ -1,0 +1,44 @@
+"""Summarize which registered queries have ever been driver-graded green.
+
+Reads every CORRECTNESS_r*.json at the repo root and prints three lists:
+ever-green keys, keys graded but never green, and never-graded keys in
+registration order — the input for rotating ``registry._GRADE_FRONT`` each
+round (see GRADED.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from datums_warehouse_spark import registry  # noqa: E402
+
+
+def main() -> None:
+    allq = list(registry.all_queries())
+    seen: set[str] = set()
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        for k, v in json.load(open(f)).items():
+            seen.add(k)
+            if v.get("err") is None and (v.get("hash_match") or v.get("rows_match")):
+                green.add(k)
+    never = [k for k in allq if k not in seen]
+    print(f"registered: {len(allq)}  ever graded: {len(seen)}  ever green: {len(green)}")
+    print("\n# ever green")
+    print(", ".join(sorted(green)))
+    print("\n# graded but never green")
+    print(", ".join(sorted(seen - green)) or "(none)")
+    print(f"\n# never graded ({len(never)}) — rotation candidates, registration order")
+    print(", ".join(never) or "(none)")
+    print("\n# current first-50 window")
+    print(", ".join(allq[:50]))
+
+
+if __name__ == "__main__":
+    main()

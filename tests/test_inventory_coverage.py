@@ -34,6 +34,20 @@ def test_inventory_row_covered(row):
     )
 
 
+def test_grade_front_window():
+    """The driver grades the first ~50 ``queries()`` entries; the rotation
+    list must be typo-free (every name registered), duplicate-free, and
+    actually occupy the front of the iteration order (GRADED.md)."""
+    from datums_warehouse_spark import registry
+
+    front = registry._GRADE_FRONT
+    names = list(all_queries())
+    assert len(front) == len(set(front)) == 50
+    missing = set(front) - set(names)
+    assert not missing, f"_GRADE_FRONT names not registered: {missing}"
+    assert names[: len(front)] == list(front)
+
+
 def test_sql_expressible_rows_have_oracles():
     """Rows-only grading is reserved for genuinely non-SQL ops."""
     allowed_rows_only = {
