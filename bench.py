@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -40,22 +41,29 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:  # dir name without an sf<N> suffix
         sf = 0.0
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm pass: JVM JIT, parquet footers, plan compilation — measured pass
-    # reflects steady-state execution, comparable round over round
+    # warm pass: JVM JIT, parquet footers, plan compilation — measured passes
+    # reflect steady-state execution, comparable round over round
     for name in names:
         qs[name].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    # per-query median over `repeats` post-warm passes: a single pass is at
+    # the mercy of sandbox scheduling noise (r03→r04 showed a uniform 1.4×
+    # swing with zero code delta), medians make round-over-round deltas mean
+    # something. All passes of one query run back-to-back so each median
+    # sees the same cache/JIT state.
+    runs: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name].fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qs[name].fn(spark, sf_dir).count()
+            runs[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
+    total = sum(timings.values())
 
     from datums_warehouse_spark.llm.dedup import release_caches
 
@@ -68,6 +76,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
+                "spread": {
+                    n: round(max(ts) - min(ts), 3) for n, ts in runs.items()
+                },
             }
         )
     )

@@ -366,14 +366,30 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round — here ``localCheckpoint`` already truncates the growing plan.
     The oracle replays it as a recursive reachability CTE.
     """
-    from datums_warehouse_spark.session import scoped_shuffle_partitions
-
     pairs = l2_minhash_lsh_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .localCheckpoint(eager=True)  # pair pipeline runs once, not per round
     )
+    labels = min_label_propagation(spark, edges)
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("keep"),
+    )
+
+
+def min_label_propagation(
+    spark: SparkSession, edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components over a symmetric ``(u, v)`` edge table via
+    iterative min-label propagation; returns ``(u, label)`` with label =
+    min vertex id of the component. Rounds needed = graph diameter — capped
+    at ``max_rounds`` so a pathological chain fails loudly instead of
+    looping unbounded on the driver."""
+    from datums_warehouse_spark.session import scoped_shuffle_partitions
+
     # clamp: each round shuffles a label table of |component vertices| rows
     # — per-partition task overhead dominates at default partition counts
     with scoped_shuffle_partitions(spark, 8):
@@ -382,7 +398,7 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strictly decreasing convergence witness — one cheap aggregate per
         # round instead of a join-and-count against the previous state
         prev_sum = None
-        while True:
+        for _ in range(max_rounds):
             neigh = edges.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"
             ).select("u", "label")
@@ -396,13 +412,12 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:
-                break
+                return labels
             prev_sum = cur_sum
-    return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("u") == F.col("label")).alias("keep"),
-    )
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the cap — raise max_rounds)"
+        )
 
 
 # --- SimHash -----------------------------------------------------------------

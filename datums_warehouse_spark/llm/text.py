@@ -61,6 +61,11 @@ def l5_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, DataFrame-native: term counts ⋈ document frequencies ⋈ N.
 
+    N is a 1-row aggregate broadcast-cross-joined into the plan — NOT a
+    driver-side ``d.count()``, which would run a blocking second scan of the
+    corpus at query-construction time. One lazy DAG; at 100 TB the N leg is
+    a count-only scan Catalyst prunes to metadata where possible.
+
     Both idf inputs are exact integers, so the single ``ln`` per (doc,term)
     stays within the 6dp rounding guard cross-engine.
     """
@@ -68,10 +73,11 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(TOKS()).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()
-    idf = F.log((F.lit(float(n)) + 1) / (F.col("df").cast("double") + 1))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df").cast("double") + 1))
     return (
         tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "word", F.round(F.col("tf") * idf, 6).alias("tfidf"))
     )
 

@@ -231,6 +231,32 @@ def test_dedup_clusters_transitive_component(spark, monkeypatch):
         assert rows[10].keep and not rows[20].keep and not rows[30].keep
 
 
+def test_label_propagation_chain_converges(spark):
+    """A 7-vertex chain (diameter 6) must converge to one component labeled
+    by the min vertex — the worst-case topology for min-propagation."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    chain = [(i, i + 1) for i in range(1, 7)]
+    edges = spark.createDataFrame(
+        chain + [(v, u) for u, v in chain], "u long, v long"
+    )
+    labels = {r.u: r.label for r in DD.min_label_propagation(spark, edges).collect()}
+    assert labels == {i: 1 for i in range(1, 8)}
+
+
+def test_label_propagation_round_cap_raises(spark):
+    """A chain whose diameter exceeds max_rounds must raise, not loop
+    unbounded on the driver."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    chain = [(i, i + 1) for i in range(1, 10)]
+    edges = spark.createDataFrame(
+        chain + [(v, u) for u, v in chain], "u long, v long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.min_label_propagation(spark, edges, max_rounds=3)
+
+
 def test_warehouse_merge_empty_updates_is_noop(spark, sf_dir, wh_tmp):
     """merge() with an empty batch must leave the store byte-identical."""
     from datums_warehouse_spark.sources.tables import events_us
