@@ -406,31 +406,36 @@ def l3_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact (products ≤ 255²·dim ≪ 2⁵³), so the whole pipeline —
     quantize, score, rank — is graded against the oracle bit-for-bit.
 
-    The per-dimension stats are dim-sized (64 rows): collected and inlined
-    as literal arrays, the same broadcast-tiny-model shape as IVF
-    centroids. Quantization arithmetic is written identically in both
-    engines ((v - mn) * (LEVELS / (mx - mn)), floor, clamp) so the codes
-    match exactly; a dimension with mx == mn quantizes to 0.
+    The per-dimension stats are dim-sized (64 values): folded into the DAG
+    as a broadcast 1-row array aggregate — NOT collected on the driver at
+    construction time, which would run a blocking full scan before the
+    query executes (tests/test_laziness.py pins this). Quantization
+    arithmetic is written identically in both engines
+    ((v - mn) * (LEVELS / (mx - mn)), floor, clamp) so the codes match
+    exactly; a dimension with mx == mn quantizes to 0.
     """
     emb = load(spark, sf_dir, "embeddings")
+    by_pos = F.array_sort(F.collect_list(F.struct("pos", "mn", "mx")))
     stats = (
         emb.select(F.posexplode("embedding").alias("pos", "v"))
         .groupBy("pos")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .orderBy("pos")
-        .collect()
+        .agg(
+            F.transform(by_pos, lambda s: s.mn.cast("double")).alias("_mns"),
+            F.transform(by_pos, lambda s: s.mx.cast("double")).alias("_mxs"),
+        )
     )
-    mn = F.array(*[F.lit(float(r.mn)) for r in stats])
-    mx = F.array(*[F.lit(float(r.mx)) for r in stats])
 
     def quant(v, i):
-        lo, hi = F.element_at(mn, i + 1), F.element_at(mx, i + 1)
+        lo, hi = F.element_at("_mns", i + 1), F.element_at("_mxs", i + 1)
         code = F.floor((v.cast("double") - lo) * (F.lit(float(SQ_LEVELS)) / (hi - lo)))
         return F.when(hi == lo, F.lit(0)).otherwise(
             F.least(F.lit(SQ_LEVELS).cast("long"), code)
         )
 
-    qv = emb.select("vec_id", F.transform("embedding", quant).alias("q"))
+    qv = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.transform("embedding", quant).alias("q")
+    )
     a = qv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
     )

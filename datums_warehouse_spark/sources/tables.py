@@ -30,11 +30,24 @@ def path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Schema per (sf_dir, table): schema inference reads parquet footers via a
+# driver job on EVERY spark.read.parquet call; pinning the schema skips it,
+# so query construction is zero-job (tests/test_laziness.py). The warehouse
+# dirs are immutable, and at cluster scale this is the catalog/metastore
+# role — per-query footer inference doesn't belong in the hot path.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. The only sanctioned way to read testdata."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(path(sf_dir, name))
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path(sf_dir, name)).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path(sf_dir, name))
 
 
 # Wall-clock micros since epoch for a TIMESTAMP_NTZ column, independent of
