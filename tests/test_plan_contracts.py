@@ -131,6 +131,43 @@ def test_zorder_pages_bound_both_dimensions(spark, monkeypatch):
     assert med_y <= 0.7 * gy, (med_y, gy)
 
 
+def test_tfidf_broadcasts_df_and_n(spark, sf_dir):
+    """TF-IDF's document-frequency table and corpus-count legs must attach
+    broadcast-side (BroadcastHashJoin + broadcast cross join for the 1-row
+    N) — the per-(doc,term) fact side must not shuffle twice."""
+    plan = plan_of("l6_tfidf", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row N cross join
+
+
+def test_minhash_lsh_never_all_pairs(spark, sf_dir):
+    """LSH candidate generation must be an equi-join on (band, bucket) —
+    a cartesian/broadcast-nested-loop pair enumeration is the O(n²) shape
+    the banding exists to avoid."""
+    plan = plan_of("l2_minhash_lsh_pairs", spark, sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_ann_candidates_equi_join(spark, sf_dir):
+    """IVF ANN must probe candidates through an equi-join on the cell id,
+    never a full cross of queries × corpus."""
+    plan = plan_of("l3_ivf_ann", spark, sf_dir)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join's union-tag formulation must cost one keyed shuffle
+    on the join key (plus the two side-reduction aggregates sharing that
+    partitioning) — no range-explosion join, no global sort."""
+    plan = plan_of("j9_asof_join", spark, sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # every exchange hashes on user_id — one logical co-location, reused
+    ex = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert ex and all("user_id" in l for l in ex), ex
+
+
 def test_q6_scan_aggregate_has_no_shuffle(spark, sf_dir):
     """comp13 (TPC-H Q6) must be a pure scan-aggregate: all three range
     predicates pushed to the parquet reader, zero keyed shuffles (the only
