@@ -1,0 +1,102 @@
+"""Global plan-hygiene gate over EVERY registered query.
+
+test_plan_contracts.py pins named queries' plans in detail; this suite
+sweeps the whole registry for the three silent scale-killers:
+
+- a CartesianProduct node (O(n²) pair enumeration an equi-join should
+  have expressed);
+- row-at-a-time Python UDF execution (BatchEvalPython) outside the
+  deliberate D-surface — everything else must stay JVM-side or use
+  Arrow-batched pandas execution;
+- pandas-batch nodes (Arrow transfer) outside the sanctioned escape
+  hatches — built-ins first, Python only where semantics genuinely
+  require it.
+
+Plans are built once per query at sf0.001 (structure, not data, is under
+test; queries whose construction executes work are exercised elsewhere).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datums_warehouse_spark import all_queries
+
+# Construction executes work (sinks write, streams run, iterative loop) —
+# covered by the oracle/parity suites instead.
+CONSTRUCTION_RUNS = {
+    "l2_dedup_clusters",
+    "s2_partitioned_sink",
+    "s3_csv_roundtrip",
+    "s4_jsonl_source",
+    "s6_merge_upsert",
+    "s2_bucketed_join",
+    "s7_schema_evolution",
+    "t4_watermark_stream",
+    "t7_stream_sink",
+    "t6_stateful_stream",
+    "t9_stream_upsert",
+    "t8_stream_stream_join",
+}
+
+# The deliberate row-at-a-time UDF surface (SURVEY.md §2.12) — the point of
+# these queries IS the slow path, demonstrated and graded as such.
+ROW_UDF_ALLOWED = {"d1_scalar_udf", "d4_python_udtf", "d5_sql_registration"}
+
+# Arrow-batched Python: the sanctioned escape hatches where built-ins
+# genuinely can't express the semantics (recursive EMA state, grouped
+# model-apply, binary feature extraction) + the D-surface demos.
+PANDAS_ALLOWED = {
+    "d2_pandas_udf",
+    "d2_pandas_udaf",
+    "d3_grouped_apply",
+    "x6_ema",                  # recursive filter: y[i] = f(y[i-1])
+    "x3b_interpolate_scaled",  # chunked applyInPandas interpolation
+    "l9_multimodal_features",  # mapInPandas binary feature extraction
+}
+
+PANDAS_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas", "AggregateInPandas")
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir) -> dict[str, str]:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    out = {}
+    for name, q in all_queries().items():
+        if name in CONSTRUCTION_RUNS:
+            continue
+        out[name] = q.fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_row_udfs_only_in_d_surface(plans):
+    offenders = [
+        n for n, p in plans.items() if "BatchEvalPython" in p and n not in ROW_UDF_ALLOWED
+    ]
+    assert not offenders, offenders
+
+
+def test_pandas_nodes_only_where_sanctioned(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if any(m in p for m in PANDAS_NODES) and n not in PANDAS_ALLOWED
+    ]
+    assert not offenders, offenders
+
+
+def test_global_sorts_only_in_sort_family(plans):
+    """Range-partitioned exchanges (global sorts) belong to the O-family
+    queries whose semantics ARE a total order; anywhere else a window or
+    top-k shape was available."""
+    allowed = {"o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o6_zorder_layout",
+               "x8_m4_downsample"}
+    offenders = [
+        n for n, p in plans.items() if "Exchange rangepartitioning" in p and n not in allowed
+    ]
+    assert not offenders, offenders
