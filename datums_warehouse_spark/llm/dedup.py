@@ -612,3 +612,75 @@ def l2_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return jaccard_verify(cand, sh, PPJOIN_THRESHOLD)
+
+
+# --- L18: train/eval decontamination -----------------------------------------
+
+DECON_STOP_DF = 100      # shingles in more train docs than this carry no signal
+DECON_MIN_OVERLAP = 0.3  # fraction of an eval doc's shingles found in one train doc
+
+
+@query(
+    "l18_decontamination",
+    oracle=f"""
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
+        ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        tr AS (
+            SELECT * FROM sh WHERE doc_id % 10 != 0
+            AND h IN (
+                SELECT h FROM sh WHERE doc_id % 10 != 0
+                GROUP BY h HAVING count(*) <= {DECON_STOP_DF}
+            )
+        ),
+        esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
+        hits AS (
+            SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc, count(*) AS ni
+            FROM ev JOIN tr ON tr.h = ev.h
+            GROUP BY 1, 2
+        )
+        SELECT eval_doc, train_doc,
+               round(CAST(ni AS DOUBLE) / esz.n, 6) AS overlap
+        FROM hits JOIN esz ON esz.doc_id = eval_doc
+        WHERE CAST(ni AS DOUBLE) / esz.n >= {DECON_MIN_OVERLAP}
+    """,
+    tags=("L18", "scale"),
+)
+def l18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag eval documents whose shingle sets
+    substantially appear inside some training document — the n-gram
+    collision check every LLM pipeline runs before trusting a benchmark
+    (eval split here: ``doc_id % 10 == 0``, a deterministic stand-in for a
+    held-out set).
+
+    Scale shape: one shared shingle pipeline, split into eval/train legs;
+    candidate generation is an equi-join on the 8-byte shingle hash — an
+    inverted index probe, never eval × train. Stop-shingles (document
+    frequency > {DECON_STOP_DF} on the train side) are dropped BEFORE the
+    join: a boilerplate shingle shared by millions of training docs would
+    otherwise fan every eval doc out millions of ways while carrying no
+    contamination signal — the same viral-key mitigation as PPJoin's
+    prefix filter, and exact for any eval doc small relative to the stop
+    threshold × overlap bound.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
+    is_eval = F.col("doc_id") % 10 == 0
+    ev = sh.filter(is_eval)
+    tr = sh.filter(~is_eval)
+    rare = tr.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DECON_STOP_DF
+    )
+    tr = tr.join(rare.select("h"), "h")
+    esz = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        ev.select(F.col("doc_id").alias("eval_doc"), "h")
+        .join(tr.select(F.col("doc_id").alias("train_doc"), "h"), "h")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    overlap = F.col("ni").cast("double") / F.col("n")
+    return (
+        hits.join(F.broadcast(esz.select(F.col("doc_id").alias("eval_doc"), "n")), "eval_doc")
+        .filter(overlap >= DECON_MIN_OVERLAP)
+        .select("eval_doc", "train_doc", F.round(overlap, 6).alias("overlap"))
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import davg, sql_davg
+from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
 from datums_warehouse_spark.llm.dedup import SQL_SHINGLES, shingles
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import load
@@ -390,4 +391,63 @@ def l17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
+    )
+
+
+# --- L19: domain-mix rebalancing ---------------------------------------------
+
+MIX_SCALE = 1_000_000  # hash-to-unit-interval resolution for the keep rule
+
+
+@query(
+    "l19_domain_mix",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        tgt AS (SELECT min(n_docs) AS target FROM per_source),
+        weighted AS (
+            SELECT source, n_docs,
+                   round(CAST(target AS DOUBLE) / n_docs, 6) AS weight
+            FROM per_source CROSS JOIN tgt
+        )
+        SELECT w.source, w.n_docs, w.weight,
+               count(*) FILTER (
+                   WHERE CAST({sql_hash48("CAST(doc_id AS VARCHAR)")} % {MIX_SCALE} AS DOUBLE)
+                         / {MIX_SCALE} < w.weight
+               ) AS n_kept
+        FROM documents d JOIN weighted w ON w.source = d.source
+        GROUP BY 1, 2, 3
+    """,
+    tags=("L19", "scale"),
+)
+def l19_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: downsample every source to the smallest
+    source's volume with a deterministic hash-gate — the data-mixing step
+    that turns a skewed crawl into a target training mixture.
+
+    The keep decision is ``hash48(doc_id) mod 1e6 / 1e6 < weight`` — a
+    per-row Bernoulli gate that is reproducible across engines, runs, and
+    partitionings (no RNG state), so the sampled corpus is stable under
+    retries and the oracle grades it exactly. Per-source weights come from
+    a tiny aggregate broadcast into the plan (lazy, no driver collect);
+    the whole query is two hash aggregates and one broadcast join —
+    linear at 100 TB, and the same gate expression filters the full corpus
+    when materializing the mixture itself.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tgt = per_source.agg(F.min("n_docs").alias("target"))
+    weighted = per_source.crossJoin(F.broadcast(tgt)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("target").cast("double") / F.col("n_docs"), 6).alias("weight"),
+    )
+    unit = (
+        hash48(F.col("doc_id").cast("string")) % MIX_SCALE
+    ).cast("double") / F.lit(MIX_SCALE)
+    return (
+        d.join(F.broadcast(weighted), "source")
+        .groupBy("source", "n_docs", "weight")
+        .agg(F.count(F.when(unit < F.col("weight"), 1)).alias("n_kept"))
     )

@@ -6,6 +6,9 @@ prints a pass/fail table. Use before committing a batch of operators:
 
     python scripts/oracle_check.py                # sf0.01, all queries
     python scripts/oracle_check.py sf0.001 a8     # substring filter
+
+Set SPARK_GRAFT_VANILLA=1 to compare under a bare SparkSession (no tuned
+confs) — the driver's actual environment.
 """
 
 from __future__ import annotations
@@ -32,7 +35,17 @@ def main() -> int:
             pattern = arg
     sf_dir = f"/root/testdata/{sf}"
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = connect(sf_dir)
 
     qs = {k: v for k, v in all_queries().items() if pattern in k}
