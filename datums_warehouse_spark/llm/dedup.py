@@ -350,7 +350,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                u = min(x) AS keep
         FROM reach GROUP BY u
     """,
-    tags=("L2", "iterative"),
+    tags=("L2", "iterative", "eager"),
 )
 def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash/LSH

@@ -159,6 +159,13 @@ def all_queries() -> dict[str, Query]:
     return {n: _REGISTRY[n] for n in (*front, *rest)}
 
 
+def eager_names() -> set[str]:
+    """Queries tagged ``eager``: construction executes work (sink writes,
+    genuine streaming runs, iterative convergence loops) rather than only
+    declaring a DAG. Laziness/plan contract suites exclude these."""
+    return {n for n, q in all_queries().items() if "eager" in q.tags}
+
+
 def query_map() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in all_queries().items()}
 

@@ -47,7 +47,7 @@ def _event_agg(df: DataFrame) -> DataFrame:
     )
 
 
-@query("s2_partitioned_sink", oracle=_SQL_EVENT_AGG, tags=("S2",))
+@query("s2_partitioned_sink", oracle=_SQL_EVENT_AGG, tags=("S2", "eager"))
 def s2_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet round-trip: write events partitioned by
     event_type (the reference's series-per-directory layout, columnar),
@@ -57,7 +57,7 @@ def s2_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _event_agg(spark.read.parquet(out))
 
 
-@query("s3_csv_roundtrip", oracle=_SQL_EVENT_AGG, tags=("S3",))
+@query("s3_csv_roundtrip", oracle=_SQL_EVENT_AGG, tags=("S3", "eager"))
 def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip with explicit schema — the reference's native storage
     format [R]. Doubles survive exactly (shortest-round-trip rendering);
@@ -73,7 +73,7 @@ def s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _event_agg(back)
 
 
-@query("s4_jsonl_source", oracle=_SQL_EVENT_AGG, tags=("S4",))
+@query("s4_jsonl_source", oracle=_SQL_EVENT_AGG, tags=("S4", "eager"))
 def s4_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines round-trip — the reference ingests exchange API responses
     as JSON [R]. Schema pinned on read (inference is a scan at scale)."""
@@ -116,7 +116,7 @@ def s4_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.* FROM stored s ANTI JOIN touched t
             ON s.series = t.series AND s.bucket = t.bucket
     """,
-    tags=("S6", "scale"),
+    tags=("S6", "scale", "eager"),
 )
 def s6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge/upsert of revised candles into a stored candle table — the
@@ -155,7 +155,7 @@ def s6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
-    tags=("S2", "scale"),
+    tags=("S2", "scale", "eager"),
 )
 def s2_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed warehouse tables: orders and lineitem written bucketBy
@@ -212,7 +212,7 @@ def s2_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY event_type
     """,
-    tags=("S7",),
+    tags=("S7", "eager"),
 )
 def s7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet batches: batch 1 is written with the

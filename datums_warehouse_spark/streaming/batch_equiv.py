@@ -183,7 +183,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(stream)
 
 
-@query("t4_watermark_stream", tags=("T4",))
+@query("t4_watermark_stream", tags=("T4", "eager"))
 def t4_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming run: watermarked hourly counts per
     series, availableNow trigger, in-memory sink (rows-only — the
@@ -209,7 +209,7 @@ def t4_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("t7_stream_sink", tags=("T7",))
+@query("t7_stream_sink", tags=("T7", "eager"))
 def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parquet sink with checkpoint — the reference's append-to-
     warehouse update loop [R] as a real writeStream. Returns the re-read
@@ -232,7 +232,7 @@ def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("t6_stateful_stream", tags=("T6", "stream"))
+@query("t6_stateful_stream", tags=("T6", "stream", "eager"))
 def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming (rows-only): per-user cumulative spend
     via ``applyInPandasWithState`` over a genuine microbatch run — the
@@ -293,7 +293,7 @@ def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY 1, 2
     """,
-    tags=("T9", "stream"),
+    tags=("T9", "stream", "eager"),
 )
 def t9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming candle maintenance: an update-mode streaming aggregation
@@ -361,7 +361,7 @@ def t9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(store)
 
 
-@query("t8_stream_stream_join", tags=("T8", "stream"))
+@query("t8_stream_stream_join", tags=("T8", "stream", "eager"))
 def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase matched to
     the same user's clicks in the preceding 30 minutes, run as a genuine

@@ -20,25 +20,14 @@ import os
 import pytest
 
 from datums_warehouse_spark import all_queries
+from datums_warehouse_spark.registry import eager_names
 from datums_warehouse_spark.sources import tables
 
-EXCLUDED = {
-    "l2_dedup_clusters",      # covered: test_dedup_clusters_no_pairs_terminates_empty
-    "s2_partitioned_sink",
-    "s3_csv_roundtrip",
-    "s4_jsonl_source",
-    "s6_merge_upsert",
-    "s2_bucketed_join",
-    "s7_schema_evolution",
-    "t4_watermark_stream",
-    "t7_stream_sink",
-    "t6_stateful_stream",
-    "t9_stream_upsert",
-    "t8_stream_stream_join",
-    # MLlib BucketedRandomProjectionLSH.fit() requires ≥1 row to size its
-    # random hyperplanes — an empty corpus legitimately fails to index
-    "l3_lsh_ann",
-}
+# Registry-tagged eager queries (sink writes, genuine streaming runs, the
+# iterative clusterer — its empty-graph case has a dedicated test), plus
+# MLlib BucketedRandomProjectionLSH.fit(), which requires ≥1 row to size
+# its random hyperplanes — an empty corpus legitimately fails to index.
+EXCLUDED = eager_names() | {"l3_lsh_ann"}
 
 # Constant-shape outputs: one row per profiled COLUMN, independent of the
 # input row count.

@@ -10,28 +10,14 @@ from __future__ import annotations
 import pytest
 
 from datums_warehouse_spark import all_queries
+from datums_warehouse_spark.registry import eager_names
 
-# Queries whose *construction* legitimately executes work.
-EAGER_ALLOWED = {
-    # iterative convergence loop (label propagation) drives jobs per round
-    "l2_dedup_clusters",
-    # MLlib BucketedRandomProjectionLSH.fit() reads one row to size the
-    # random hyperplanes — inherent to the Estimator API, O(1) not a scan
-    "l3_lsh_ann",
-    # sink round-trips: the operator under test IS a write-then-read
-    "s2_partitioned_sink",
-    "s3_csv_roundtrip",
-    "s4_jsonl_source",
-    "s6_merge_upsert",
-    "s2_bucketed_join",
-    "s7_schema_evolution",
-    # genuine streaming runs: start + awaitTermination then read the sink
-    "t4_watermark_stream",
-    "t7_stream_sink",
-    "t6_stateful_stream",
-    "t9_stream_upsert",
-    "t8_stream_stream_join",
-}
+# Queries whose *construction* legitimately executes work: everything the
+# registry tags ``eager`` (sink writes, genuine streaming runs, iterative
+# loops), plus MLlib BucketedRandomProjectionLSH.fit(), which reads one row
+# to size the random hyperplanes — inherent to the Estimator API, O(1) not
+# a scan.
+EAGER_ALLOWED = eager_names() | {"l3_lsh_ann"}
 
 
 def _jobs_run(spark) -> int:

@@ -16,15 +16,13 @@ from __future__ import annotations
 import pytest
 
 from datums_warehouse_spark import all_queries
+from datums_warehouse_spark.testing.plans import formatted_plan
 
 QUERIES = all_queries()
 
 
 def plan_of(name: str, spark, sf_dir: str) -> str:
-    df = QUERIES[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    return formatted_plan(QUERIES[name].fn(spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -86,10 +84,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     the join — the pay-once layout for repeated fact⋈fact joins."""
     from datums_warehouse_spark.sources.sinks import s2_bucketed_join
 
-    df = s2_bucketed_join(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    plan = formatted_plan(s2_bucketed_join(spark, sf_dir))
     if "Bucketed: true" not in plan:
         pytest.skip("catalog unavailable — query fell back to plain scans")
     # the only shuffle allowed is the final aggregation's

@@ -21,23 +21,12 @@ from __future__ import annotations
 import pytest
 
 from datums_warehouse_spark import all_queries
+from datums_warehouse_spark.registry import eager_names
+from datums_warehouse_spark.testing.plans import formatted_plan
 
 # Construction executes work (sinks write, streams run, iterative loop) —
 # covered by the oracle/parity suites instead.
-CONSTRUCTION_RUNS = {
-    "l2_dedup_clusters",
-    "s2_partitioned_sink",
-    "s3_csv_roundtrip",
-    "s4_jsonl_source",
-    "s6_merge_upsert",
-    "s2_bucketed_join",
-    "s7_schema_evolution",
-    "t4_watermark_stream",
-    "t7_stream_sink",
-    "t6_stateful_stream",
-    "t9_stream_upsert",
-    "t8_stream_stream_join",
-}
+CONSTRUCTION_RUNS = eager_names()
 
 # The deliberate row-at-a-time UDF surface (SURVEY.md §2.12) — the point of
 # these queries IS the slow path, demonstrated and graded as such.
@@ -60,13 +49,11 @@ PANDAS_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas", "Aggr
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir) -> dict[str, str]:
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    out = {}
-    for name, q in all_queries().items():
-        if name in CONSTRUCTION_RUNS:
-            continue
-        out[name] = q.fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
-    return out
+    return {
+        name: formatted_plan(q.fn(spark, sf_dir))
+        for name, q in all_queries().items()
+        if name not in CONSTRUCTION_RUNS
+    }
 
 
 def test_no_cartesian_products(plans):
