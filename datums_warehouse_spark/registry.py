@@ -125,6 +125,31 @@ _GRADE_FRONT = (
     "s4_jsonl_source",
 )
 
+# Round-6 rotation, prepared: once CORRECTNESS_r05 lands green, point
+# _GRADE_FRONT at this tuple (then every registered query has a driver row
+# across r01-r06 — see GRADED.md). Composition: remaining never-graded
+# sort_set/set-op keys, all 18 composite (TPC-H-shape) queries, the llm
+# text module, remaining sinks, the streaming module, and round-5's two
+# additions.
+_GRADE_FRONT_R06 = (
+    "u5_except_all", "o5_table_sample", "o5_stratified_sample",
+    "comp1_shipping_priority", "comp2_returned_items", "comp3_funnel_conversion",
+    "comp4_series_health", "comp5_promo_revenue_share", "comp6_small_quantity_revenue",
+    "comp7_large_orders", "comp8_late_shipment_priority", "comp9_priority_shipment_mix",
+    "comp10_disjunctive_revenue", "comp11_dormant_rich_customers",
+    "comp12_local_supplier_volume", "comp13_forecast_revenue", "comp14_volume_shipping",
+    "comp15_national_market_share", "comp16_product_profit", "comp17_top_supplier",
+    "comp18_waiting_suppliers",
+    "l5_word_count", "l6_tfidf", "l7_bigrams", "l8_lang_stats", "l11_language_id",
+    "l12_quality_score", "l13_token_count", "l14_fingerprint", "l15_doc_chunking",
+    "l16_sequence_packing", "l17_heavy_hitters",
+    "s2_partitioned_sink", "s6_merge_upsert", "s2_bucketed_join", "s7_schema_evolution",
+    "t2_sliding_window", "t3_session_window", "t5_dedup_keys", "t6_first_threshold_cross",
+    "t4_watermark_stream", "t7_stream_sink", "t6_stateful_stream", "t9_stream_upsert",
+    "t8_stream_stream_join",
+    "l18_decontamination", "l19_domain_mix",
+)
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a graded query under ``name``.

@@ -48,6 +48,29 @@ def test_grade_front_window():
     assert names[: len(front)] == list(front)
 
 
+def test_grading_rotation_is_closed():
+    """Every registered query must be reachable by driver grading: already
+    graded in a past round's CORRECTNESS artifact, in the active 50-slot
+    window, or in the prepared round-6 rotation — otherwise a query can
+    never earn the binding correctness evidence (GRADED.md)."""
+    import glob
+    import json
+    import os
+
+    from datums_warehouse_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(f)))
+    front = set(registry._GRADE_FRONT)
+    r06 = set(registry._GRADE_FRONT_R06)
+    missing_names = (front | r06) - set(all_queries())
+    assert not missing_names, f"rotation lists contain unregistered names: {missing_names}"
+    unreachable = set(all_queries()) - graded - front - r06
+    assert not unreachable, f"queries outside every grading window: {unreachable}"
+
+
 def test_sql_expressible_rows_have_oracles():
     """Rows-only grading is reserved for genuinely non-SQL ops."""
     allowed_rows_only = {
