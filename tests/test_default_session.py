@@ -20,7 +20,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Every r04 NTZ victim + asof/interpolate/pandas-UDF representatives.
+# Every r04 NTZ victim + asof/interpolate/pandas-UDF representatives +
+# the datetime/cast scalar families (the other session-conf-sensitive
+# surface: timezone and ANSI cast behavior).
 QUERIES = (
     "a8_candles_15m",
     "w2_lag_lead",
@@ -34,6 +36,8 @@ QUERIES = (
     "d2_pandas_udf",
     "t4_watermark_stream",
     "t8_stream_stream_join",
+    "f2_datetime_funcs",
+    "f5_cast_funcs",
 )
 
 _SCRIPT = """
