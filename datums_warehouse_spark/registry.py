@@ -147,7 +147,7 @@ _GRADE_FRONT_R06 = (
     "t2_sliding_window", "t3_session_window", "t5_dedup_keys", "t6_first_threshold_cross",
     "t4_watermark_stream", "t7_stream_sink", "t6_stateful_stream", "t9_stream_upsert",
     "t8_stream_stream_join",
-    "l18_decontamination", "l19_domain_mix",
+    "l18_decontamination", "l19_domain_mix", "s8_incremental_pipeline",
 )
 
 

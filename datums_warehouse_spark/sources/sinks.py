@@ -247,3 +247,50 @@ def s7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
         F.count("batch_tag").alias("n_tagged"),
     )
+
+
+@query(
+    "s8_incremental_pipeline",
+    oracle=f"""
+        SELECT event_type AS series,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               arg_min(value, ts) AS open, max(value) AS high,
+               min(value) AS low, arg_max(value, ts) AS close,
+               {sql_dsum("value")} AS volume, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("S5", "S6", "scale", "eager"),
+)
+def s8_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's main loop end-to-end: bootstrap a warehouse with
+    history, feed it the full stream through the since-cursor incremental
+    update, and read hourly candles off the store. Graded by the strongest
+    invariant the loop has: the incrementally-maintained warehouse must
+    produce candles IDENTICAL to a full recompute over all events —
+    incremental == batch, bit for bit.
+
+    Exercises Warehouse.ingest (partitioned append), update_incremental
+    (per-series cursor join, appends only rows the store hasn't seen), and
+    the A8 candle aggregate over the partition-pruned store. At 100 TB the
+    cursor read is one aggregate over partition footers, the append only
+    touches new data, and the candle read prunes to requested series —
+    O(new data) per cycle, never O(warehouse).
+    """
+    import uuid
+
+    from datums_warehouse_spark.warehouse import Warehouse
+
+    feed = events_us(spark, sf_dir).select(
+        "event_id", "ts", F.col("event_type").alias("series"), "value"
+    )
+    root = _sink_dir(f"s8_{uuid.uuid4().hex[:8]}", sf_dir)
+    wh = Warehouse(spark, root)
+    # bootstrap: everything before a fixed date (the data spans ~150 days
+    # from 2024-01-01 at every SF, so the boundary splits it at any scale)
+    wh.ingest(feed.filter(F.col("ts") < F.lit("2024-04-01").cast("timestamp")))
+    wh.update_incremental(feed)  # full feed: only unseen rows append
+    bars = candles(
+        wh.table().withColumnRenamed("series", "event_type"), "hour"
+    ).localCheckpoint(eager=True)  # materialize before the store is cleaned
+    shutil.rmtree(root, ignore_errors=True)
+    return bars
