@@ -92,3 +92,30 @@ def test_hash48_matches_duckdb(duck):
 
     expect = int(hashlib.md5(b"hello world").hexdigest()[:12], 16)
     assert got == expect
+
+
+def test_normalize_ts_equalizes_all_arrival_types(spark):
+    """The events.ts column arrives as int64-ns (legacy nanosAsLong
+    sessions), TIMESTAMP_NTZ (pyspark >= 4.1), or TIMESTAMP depending on
+    the session — normalize_ts must map all three to the identical
+    TimestampType instants (the round-4 regression class: code written
+    against one arrival type breaking when the environment shifts)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from datums_warehouse_spark.sources.tables import normalize_ts
+
+    micros = [0, 1_704_067_798_778_549, 1_721_044_800_000_000]  # epoch, winter, summer
+    base = spark.createDataFrame([(m,) for m in micros], "us long")
+    as_long_ns = base.select((F.col("us") * 1000).alias("ts"))
+    as_ntz = base.select(
+        F.timestamp_micros("us").cast("timestamp_ntz").alias("ts")
+    )
+    as_ltz = base.select(F.timestamp_micros("us").alias("ts"))
+
+    outs = []
+    for df in (as_long_ns, as_ntz, as_ltz):
+        out = normalize_ts(df)
+        assert isinstance(out.schema["ts"].dataType, TimestampType)
+        outs.append(sorted(r.ts for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
