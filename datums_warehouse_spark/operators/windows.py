@@ -269,3 +269,42 @@ def w8_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+@query(
+    "w9_distribution_ranks",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS top_bal,
+               nth_value(c_acctbal, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS runner_up_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("W1", "W9"),
+)
+def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family per nation: percent_rank, cume_dist, and
+    first/nth value over the full-partition frame — the remaining window
+    functions W1's ranking family doesn't cover. Ordered on a unique
+    (measure, key) pair so both engines rank identical rows; the ratios
+    are exact small-integer divisions rounded at 6dp.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_acctbal").over(w_full).alias("top_bal"),
+        F.nth_value("c_acctbal", 2).over(w_full).alias("runner_up_bal"),
+    )
