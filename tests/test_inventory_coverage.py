@@ -82,6 +82,8 @@ def test_sql_expressible_rows_have_oracles():
         "t7_stream_sink",            # genuine stream sink
         "t8_stream_stream_join",     # genuine two-stream join run
                                      # (comp3 is its batch-graded twin)
+        "t10_session_stream",        # genuine streaming session windows
+                                     # (t3 is its batch-graded twin)
         "o5_table_sample",           # sampling RNG is engine-specific
         "o5_stratified_sample",      # sampling RNG is engine-specific
     }
