@@ -7,6 +7,8 @@ validated locally before burning a driver round.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 
 from datums_warehouse_spark.sources.tables import TABLES, path
@@ -15,5 +17,8 @@ from datums_warehouse_spark.sources.tables import TABLES, path
 def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path(sf_dir, t)}')")
+        p = path(sf_dir, t)
+        if os.path.isdir(p):  # Spark-written dataset: a directory of parts
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
