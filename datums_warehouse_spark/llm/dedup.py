@@ -616,7 +616,14 @@ def l2_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L18: train/eval decontamination -----------------------------------------
 
-DECON_STOP_DF = 100      # shingles in more train docs than this carry no signal
+# Stop-shingle threshold: max(100, 1% of train docs). Absolute floors are
+# a scale bug — at 32× corpus size every cross-document shingle exceeds a
+# fixed df cap and the query silently finds nothing (measured in
+# STRESS.md); a corpus-relative cap keeps "boilerplate" meaning the same
+# thing at every scale. At the graded SFs the floor of 100 is binding, so
+# results there are unchanged.
+DECON_STOP_DF = 100      # absolute floor of the stop-shingle threshold
+DECON_STOP_FRAC = 100    # relative cap: n_train_docs // this (i.e. 1%)
 DECON_MIN_OVERLAP = 0.3  # fraction of an eval doc's shingles found in one train doc
 
 
@@ -625,11 +632,16 @@ DECON_MIN_OVERLAP = 0.3  # fraction of an eval doc's shingles found in one train
     oracle=f"""
         WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
         ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        lim AS (
+            SELECT greatest({DECON_STOP_DF},
+                            count(DISTINCT doc_id) // {DECON_STOP_FRAC}) AS df_cap
+            FROM sh WHERE doc_id % 10 != 0
+        ),
         tr AS (
             SELECT * FROM sh WHERE doc_id % 10 != 0
             AND h IN (
                 SELECT h FROM sh WHERE doc_id % 10 != 0
-                GROUP BY h HAVING count(*) <= {DECON_STOP_DF}
+                GROUP BY h HAVING count(*) <= (SELECT df_cap FROM lim)
             )
         ),
         esz AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
@@ -654,9 +666,11 @@ def l18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shared shingle pipeline, split into eval/train legs;
     candidate generation is an equi-join on the 8-byte shingle hash — an
-    inverted index probe, never eval × train. Stop-shingles (document
-    frequency > {DECON_STOP_DF} on the train side) are dropped BEFORE the
-    join: a boilerplate shingle shared by millions of training docs would
+    inverted index probe, never eval × train. Stop-shingles (train-side
+    document frequency above max({DECON_STOP_DF}, 1% of train docs) — a
+    corpus-RELATIVE cap, so the filter means the same thing at every
+    scale) are dropped BEFORE the join: a boilerplate shingle shared by
+    millions of training docs would
     otherwise fan every eval doc out millions of ways while carrying no
     contamination signal — the same viral-key mitigation as PPJoin's
     prefix filter, and exact for any eval doc small relative to the stop
@@ -667,8 +681,17 @@ def l18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 10 == 0
     ev = sh.filter(is_eval)
     tr = sh.filter(~is_eval)
-    rare = tr.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= DECON_STOP_DF
+    cap = tr.agg(
+        F.greatest(
+            F.lit(DECON_STOP_DF).cast("long"),
+            (F.countDistinct("doc_id") / DECON_STOP_FRAC).cast("long"),
+        ).alias("df_cap")
+    )
+    rare = (
+        tr.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("df_cap"))
     )
     tr = tr.join(rare.select("h"), "h")
     esz = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
