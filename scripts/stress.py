@@ -8,8 +8,8 @@ is right should grow ~linearly in the fact-table multiplier; a hidden
 all-pairs or driver-side bottleneck shows up as super-linear time. Writes
 STRESS.md with 1× vs M× timings and the correctness verdict per query.
 
-    python scripts/stress.py          # M=8 (≈4.8M lineitem, 800k events)
-    STRESS_MULT=4 python scripts/stress.py
+    python scripts/stress.py            # M=8 (≈4.8M lineitem, 800k events)
+    STRESS_MULT=8,32 python scripts/stress.py   # scaling curve
 """
 
 from __future__ import annotations
@@ -57,14 +57,18 @@ QUERIES = [
     "o4_topk",
     "comp13_forecast_revenue",
     "l2_minhash_lsh_pairs",
+    "l2_dedup_clusters",
     "l3_cosine_topk",
+    "l3_ivf_ann",
     "l6_tfidf",
     "l18_decontamination",
     "t3_session_window",
+    "w8_sliding_distinct_users",
+    "x3b_interpolate_scaled",
 ]
 # Oracles skipped at M× (DuckDB-side cost explodes on the recursive /
 # quadratic constructions; Spark timing still measured).
-SKIP_ORACLE = {"l2_minhash_lsh_pairs", "l18_decontamination"}
+SKIP_ORACLE = {"l2_minhash_lsh_pairs", "l2_dedup_clusters", "l18_decontamination"}
 
 
 def build_scaled(spark, mult: int) -> str:
@@ -100,72 +104,85 @@ def build_scaled(spark, mult: int) -> str:
     return out
 
 
-def main() -> None:
-    mult = int(os.environ.get("STRESS_MULT", "8"))
-    spark = get_spark("stress")
-    scaled = build_scaled(spark, mult)
-    qs = all_queries()
-
-    rows = []
+def run_at(spark, qs, sf_dir: str, check_oracle: bool):
+    """Time every stress query at ``sf_dir`` (one warm + one timed pass);
+    optionally hash-compare against DuckDB on the same files."""
+    out = {}
     for name in QUERIES:
         q = qs[name]
-        # warm + time at 1×
-        q.fn(spark, BASE_SF).count()
+        q.fn(spark, sf_dir).count()
         t0 = time.perf_counter()
-        q.fn(spark, BASE_SF).count()
-        t_base = time.perf_counter() - t0
-        # warm + time at M×
-        q.fn(spark, scaled).count()
-        t0 = time.perf_counter()
-        n = q.fn(spark, scaled).count()
-        t_mult = time.perf_counter() - t0
+        n = q.fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
         verdict = "—"
-        if q.oracle and name not in SKIP_ORACLE:
-            con = connect(scaled)
+        if check_oracle and q.oracle and name not in SKIP_ORACLE:
+            con = connect(sf_dir)
             ok = compare_frames(
-                name, q.fn(spark, scaled).toPandas(), con.execute(q.oracle).fetchdf()
+                name, q.fn(spark, sf_dir).toPandas(), con.execute(q.oracle).fetchdf()
             )
             con.close()
             verdict = "ok" if ok else "FAIL"
-        ratio = t_mult / t_base if t_base else float("inf")
-        rows.append((name, t_base, t_mult, ratio, n, verdict))
-        print(f"{name}: 1x {t_base:.2f}s  {mult}x {t_mult:.2f}s  "
-              f"ratio {ratio:.1f}  rows {n}  oracle {verdict}", flush=True)
+        out[name] = (dt, n, verdict)
+        print(f"  {name}: {dt:.2f}s rows {n} oracle {verdict}", flush=True)
+    return out
+
+
+def main() -> None:
+    mults = [int(m) for m in os.environ.get("STRESS_MULT", "8").split(",")]
+    spark = get_spark("stress")
+    qs = all_queries()
+
+    print("at 1x:", flush=True)
+    results = {1: run_at(spark, qs, BASE_SF, check_oracle=False)}
+    for m in mults:
+        scaled = build_scaled(spark, m)
+        print(f"at {m}x:", flush=True)
+        results[m] = run_at(spark, qs, scaled, check_oracle=True)
 
     from datums_warehouse_spark.llm.dedup import release_caches
 
     release_caches()
+    header = (
+        ["query", "1× s"]
+        + [f"{m}× s" for m in mults]
+        + [f"ratio@{mults[-1]}×" for _ in (1,)]
+        + [f"rows@{mults[-1]}×", "oracle"]
+    )
     out = [
-        f"# STRESS — measured scaling at {mult}× sf0.1",
+        f"# STRESS — measured scaling at {', '.join(f'{m}×' for m in mults)} sf0.1",
         "",
-        f"Fact tables replicated {mult}× with lockstep-shifted keys "
-        f"(≈{600*mult}k lineitem, {100*mult}k events, {5*mult}k documents); "
-        "dimensions 1×. Time ratio ≈ fact multiplier ⇒ the plan scales "
-        "linearly in data volume on fixed cores; well below ⇒ overhead-"
-        "dominated at this size; far above ⇒ a super-linear stage "
-        "(pair blowup, skew). Oracle = DuckDB hash-compare on the SAME "
-        "scaled files. Generated by `python scripts/stress.py`.",
+        "Fact tables replicated M× with lockstep-shifted keys (sf0.1 base: "
+        "600k lineitem, 100k events, 5k documents per 1×); dimensions stay "
+        "1×, the way a warehouse actually grows. Time ratio ≈ the fact "
+        "multiplier ⇒ the plan scales linearly in data volume on fixed "
+        "cores; well below ⇒ overhead-dominated at this size; far above ⇒ "
+        "a super-linear stage (pair blowup, skew). Oracle = DuckDB "
+        "hash-compare on the SAME scaled files, checked at every "
+        "multiplier. Generated by `python scripts/stress.py`.",
         "",
-        f"| query | 1× s | {mult}× s | ratio | rows@{mult}× | oracle |",
-        "| --- | --- | --- | --- | --- | --- |",
+        "| " + " | ".join(header) + " |",
+        "|" + " --- |" * len(header),
     ]
-    out += [
-        f"| {n} | {b:.2f} | {m:.2f} | {r:.1f} | {c} | {v} |"
-        for n, b, m, r, c, v in rows
-    ]
+    big = mults[-1]
+    for name in QUERIES:
+        t1 = results[1][name][0]
+        cells = [name, f"{t1:.2f}"] + [f"{results[m][name][0]:.2f}" for m in mults]
+        ratio = results[big][name][0] / t1 if t1 else float("inf")
+        cells += [f"{ratio:.1f}", str(results[big][name][1]), results[big][name][2]]
+        out.append("| " + " | ".join(cells) + " |")
     out += [
         "",
-        "Reading the dedup rows: replication gives every document "
-        f"{mult - 1} exact twins, so the TRUE near-dup pair count grows "
-        f"~{mult}²/2× per clique (the corpus genuinely contains that many "
-        "duplicate pairs) — compare the pair-count growth to the time "
-        "growth before reading a high ratio as a plan defect. The LSH "
-        "time ratio tracks its output size, not a hidden all-pairs stage.",
+        "Reading the dedup rows: replication gives every document M-1 "
+        "exact twins, so the TRUE near-dup pair count grows ~M²/2× per "
+        "clique (the corpus genuinely contains that many duplicate "
+        "pairs) — compare the pair-count growth to the time growth before "
+        "reading a high ratio as a plan defect. The LSH time ratio tracks "
+        "its output size, not a hidden all-pairs stage.",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "STRESS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
-    print(json.dumps({"stress_mult": mult, "queries": len(rows)}))
+    print(json.dumps({"stress_mults": mults, "queries": len(QUERIES)}))
 
 
 if __name__ == "__main__":
