@@ -148,7 +148,7 @@ _GRADE_FRONT_R06 = (
     "t4_watermark_stream", "t7_stream_sink", "t6_stateful_stream", "t9_stream_upsert",
     "t8_stream_stream_join",
     "l18_decontamination", "l19_domain_mix", "s8_incremental_pipeline",
-    "w9_distribution_ranks", "t10_session_stream",
+    "w9_distribution_ranks", "t10_session_stream", "s9_retention_ttl",
 )
 
 
