@@ -42,6 +42,16 @@ def main() -> None:
     except ValueError:  # dir name without an sf<N> suffix
         sf = 0.0
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Queries whose r05 spread was ~25-70% of their median (cache/JIT
+    # sensitive iterative or sessionization shapes) get extra passes so the
+    # published median is stable round over round (VERDICT r05 §perf). A
+    # sub-3 repeats setting is a smoke run — don't inflate it.
+    noisy = {"l2_minhash_lsh_pairs", "t3_session_window"}
+    noisy_repeats = (
+        int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS_NOISY", "5"))
+        if repeats >= 3
+        else repeats
+    )
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -57,7 +67,7 @@ def main() -> None:
     # sees the same cache/JIT state.
     runs: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
-        for _ in range(repeats):
+        for _ in range(noisy_repeats if name in noisy else repeats):
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).count()
             runs[name].append(time.perf_counter() - t0)
@@ -77,6 +87,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "repeats": repeats,
+                "repeats_noisy": {n: noisy_repeats for n in noisy if n in runs},
                 "spread": {
                     n: round(max(ts) - min(ts), 3) for n, ts in runs.items()
                 },

@@ -702,8 +702,14 @@ def l18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ni"))
     )
     overlap = F.col("ni").cast("double") / F.col("n")
+    # Plain shuffle join, NOT broadcast: esz has one row per eval document,
+    # and the eval split grows with the corpus (~10% of docs here) — an
+    # unbounded side must never be pinned broadcast or it OOMs executors at
+    # 100 TB. It shares the eval_doc key with hits' aggregation, so AQE can
+    # colocate the exchange; broadcast stays reserved for genuinely bounded
+    # sides (the one-row df_cap above).
     return (
-        hits.join(F.broadcast(esz.select(F.col("doc_id").alias("eval_doc"), "n")), "eval_doc")
+        hits.join(esz.select(F.col("doc_id").alias("eval_doc"), "n"), "eval_doc")
         .filter(overlap >= DECON_MIN_OVERLAP)
         .select("eval_doc", "train_doc", F.round(overlap, 6).alias("overlap"))
     )

@@ -114,12 +114,11 @@ _FEATURE_SCHEMA = (
 )
 
 
-@query("l9_multimodal_features", tags=("L9",))
-def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via ``mapInPandas``
-    (rows-only: the extractor is Python-side by design — that's the point
-    of the operator). Partition-parallel, Arrow transfer, fixed output
-    schema; swap the stub for a real decoder without touching the plan."""
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library API: feature extraction over binary payloads via
+    ``mapInPandas`` — ``features`` is the natural ``array<double>`` vector.
+    Partition-parallel, Arrow transfer, fixed output schema; swap the stub
+    for a real decoder without touching the plan."""
     feature_dim = FEATURE_DIM
 
     # Defined inside the query fn so cloudpickle ships it BY VALUE —
@@ -155,3 +154,50 @@ def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
+
+
+_L9_FEATURE_COLS = ",\n               ".join(
+    f"CAST(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS DOUBLE) / n AS f{i}"
+    for i in range(FEATURE_DIM)
+)
+
+
+@query(
+    "l9_multimodal_features",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, length(text) AS n, text,
+                   unnest(range(length(text))) AS i
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n,
+                   ord(substr(text, CAST(i + 1 AS INT), 1)) % {FEATURE_DIM} AS bucket
+            FROM pos
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, {_L9_FEATURE_COLS},
+               'stub_decoded' AS decode_status
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("L9",),
+)
+def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded surface of :func:`multimodal_features`: the feature vector
+    unpacked into scalar double columns ``f0..f{FEATURE_DIM-1}``.
+
+    Two reasons for the scalar projection: (1) the driver's canonicalizer
+    sorts rows with pandas, which can't factorize list cells — an
+    ``array<double>`` graded column is structurally unhashable; (2) with
+    scalars the query gets a full DuckDB value-hash oracle instead of the
+    weaker rows-only check (the testdata corpus is pure ASCII — verified
+    at every SF — so DuckDB's character ops equal the extractor's byte
+    ops, and both sides do the identical IEEE count/n division). The
+    Python-side ``mapInPandas`` extractor still does the work; the array
+    variant stays the library API."""
+    feats = multimodal_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+        "decode_status",
+    )

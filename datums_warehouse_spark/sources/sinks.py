@@ -332,7 +332,15 @@ def s9_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import datetime as _dt
 
-    e = events_us(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    # Day key from epoch-day arithmetic, NOT F.to_date: to_date on a
+    # timestamp resolves through the SESSION timezone, so under the
+    # driver's vanilla session on a non-UTC host the partition boundaries
+    # would drift off the oracle's naive date_trunc('day', ts) — the r04
+    # NTZ-regression class. unix_micros div 86_400e6 is pure UTC-instant
+    # arithmetic, and events_us pins ts's UTC wall clock to the stored
+    # naive wall clock, so the derived day IS the naive calendar day.
+    epoch_day = F.expr("CAST(unix_micros(ts) div 86400000000 AS INT)")
+    e = events_us(spark, sf_dir).withColumn("day", F.date_from_unix_date(epoch_day))
     path = _sink_dir("s9_retention", sf_dir)
     e.write.mode("overwrite").partitionBy("day").parquet(path)
     max_day = e.agg(F.max("day")).collect()[0][0]
@@ -341,7 +349,11 @@ def s9_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         if entry.startswith("day=") and _dt.date.fromisoformat(entry[4:]) < cutoff:
             shutil.rmtree(os.path.join(path, entry))
     kept = spark.read.parquet(path)
+    # Graded day as timestamp_seconds(epoch_day · 86400): UTC-midnight
+    # instants, the session-tz-independent twin of the oracle's naive
+    # date_trunc — same pattern a8_candles_15m proved under the driver.
+    day_ts = F.timestamp_seconds(F.unix_date("day").cast("long") * 86400)
     return (
-        kept.groupBy(F.col("day").cast("timestamp").alias("day"))
+        kept.groupBy(day_ts.alias("day"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )

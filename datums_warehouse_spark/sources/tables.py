@@ -30,19 +30,24 @@ def path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-# Schema per (sf_dir, table): schema inference reads parquet footers via a
-# driver job on EVERY spark.read.parquet call; pinning the schema skips it,
-# so query construction is zero-job (tests/test_laziness.py). The warehouse
-# dirs are immutable, and at cluster scale this is the catalog/metastore
-# role — per-query footer inference doesn't belong in the hot path.
-_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+# Schema per (session, sf_dir, table): schema inference reads parquet
+# footers via a driver job on EVERY spark.read.parquet call; pinning the
+# schema skips it, so query construction is zero-job (tests/test_laziness.py).
+# The warehouse dirs are immutable, and at cluster scale this is the
+# catalog/metastore role — per-query footer inference doesn't belong in the
+# hot path. The key includes the session identity because inferred types
+# can be conf-dependent (e.g. a legacy nanosAsLong session reads
+# TIMESTAMP(NANOS) as bigint where a modern one gets TIMESTAMP_NTZ) — a
+# schema inferred under one session must never be served to a
+# differently-configured one in the same process (ADVICE r05).
+_SCHEMA_CACHE: dict[tuple[int, str, str], object] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. The only sanctioned way to read testdata."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (sf_dir, name)
+    key = (id(spark), sf_dir, name)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path(sf_dir, name)).schema

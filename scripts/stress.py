@@ -72,7 +72,9 @@ SKIP_ORACLE = {"l2_minhash_lsh_pairs", "l2_dedup_clusters", "l18_decontamination
 
 
 def build_scaled(spark, mult: int) -> str:
-    out = os.path.join("/tmp", "dws_stress", f"m{mult}")
+    # v2: ts written as TIMESTAMP_NTZ (bump the dir on layout changes —
+    # the marker cache would otherwise serve a stale layout).
+    out = os.path.join("/tmp", "dws_stress", f"m{mult}v2")
     marker = os.path.join(out, "_built")
     if os.path.exists(marker):
         return out
@@ -99,6 +101,19 @@ def build_scaled(spark, mult: int) -> str:
             df = copies[0]
             for c in copies[1:]:
                 df = df.unionByName(c)
+        if "ts" in df.columns:
+            # Write ts as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) so
+            # DuckDB sees naive wall-clock values exactly like the base
+            # testdata's TIMESTAMP(NANOS) — a TimestampType write would make
+            # the oracles' CAST(ts AS TIMESTAMP) DuckDB-session-tz-dependent
+            # (ADVICE r05). Pure NTZ epoch arithmetic, no LTZ cast.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
     open(marker, "w").write("ok")
     return out
@@ -142,11 +157,17 @@ def main() -> None:
     from datums_warehouse_spark.llm.dedup import release_caches
 
     release_caches()
+    big = mults[-1]
     header = (
         ["query", "1× s"]
         + [f"{m}× s" for m in mults]
-        + [f"ratio@{mults[-1]}×" for _ in (1,)]
-        + [f"rows@{mults[-1]}×", "oracle"]
+        + [f"ratio@{big}×", f"rows@{big}×"]
+        # time per output row at each scale: a high time ratio whose
+        # ms/krow stays ~flat is output growth (the corpus genuinely holds
+        # more result rows), not a super-linear plan stage (VERDICT r05 on
+        # l18/l2: pair counts grow ~M² under replication).
+        + [f"ms/krow@{m}×" for m in [1, *mults]]
+        + ["oracle"]
     )
     out = [
         f"# STRESS — measured scaling at {', '.join(f'{m}×' for m in mults)} sf0.1",
@@ -163,12 +184,15 @@ def main() -> None:
         "| " + " | ".join(header) + " |",
         "|" + " --- |" * len(header),
     ]
-    big = mults[-1]
     for name in QUERIES:
         t1 = results[1][name][0]
         cells = [name, f"{t1:.2f}"] + [f"{results[m][name][0]:.2f}" for m in mults]
         ratio = results[big][name][0] / t1 if t1 else float("inf")
-        cells += [f"{ratio:.1f}", str(results[big][name][1]), results[big][name][2]]
+        cells += [f"{ratio:.1f}", str(results[big][name][1])]
+        for m in [1, *mults]:
+            dt, n, _ = results[m][name]
+            cells.append(f"{dt * 1000 / max(n, 1):.2f}")
+        cells.append(results[big][name][2])
         out.append("| " + " | ".join(cells) + " |")
     out += [
         "",

@@ -38,6 +38,8 @@ QUERIES = (
     "t8_stream_stream_join",
     "f2_datetime_funcs",
     "f5_cast_funcs",
+    "s9_retention_ttl",
+    "l9_multimodal_features",
 )
 
 _SCRIPT = """
@@ -71,3 +73,31 @@ def test_queries_run_on_default_session(tmp_path):
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     for name in QUERIES:
         assert f"ok {name}:" in proc.stdout, proc.stdout
+
+
+def test_s9_day_partitioning_is_session_tz_invariant(spark, sf_dir):
+    """s9_retention_ttl derives its day partitions (and therefore WHICH
+    partitions get dropped) from epoch-day arithmetic, never F.to_date —
+    run the query under two session timezones and assert the grouped
+    instants and aggregates are bit-identical. Catches the r04/ADVICE-r05
+    class where a session-tz-dependent day boundary silently shifts the
+    retention cutoff on a non-UTC host."""
+    from pyspark.sql import functions as F
+
+    from datums_warehouse_spark.sources.sinks import s9_retention_ttl
+
+    def run():
+        df = s9_retention_ttl(spark, sf_dir)
+        return sorted(
+            df.select(F.unix_micros("day").alias("us"), "n", "total_value")
+            .collect()
+        )
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    base = run()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Auckland")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert base == shifted

