@@ -793,3 +793,278 @@ def comp18_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "comp19_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), cand AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost,
+                   min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+            FROM part
+            JOIN cost ON p_partkey = l_partkey
+            JOIN eu   ON l_suppkey = s_suppkey
+            WHERE p_type = 'STANDARD' AND p_size < 15
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM cand
+        WHERE unit_cost = best_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("composite",),
+)
+def comp19_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at the minimum unit cost. The testdata has no partsupp
+    table, so the supplier catalog is derived from lineitem itself —
+    unit cost ≡ min(l_extendedprice / l_quantity) per (part, supplier) —
+    which preserves Q2's defining structure: a correlated min-subquery
+    over a region-restricted supplier set.
+
+    Scale shape: the classic decorrelation. Instead of re-evaluating the
+    min per part (Q2's correlated subquery), the region-restricted
+    candidate set is built once and ``min() OVER (PARTITION BY
+    p_partkey)`` attaches each part's floor in the same shuffle that the
+    equality filter then consumes — one lineitem aggregation, one window,
+    no second scan. supplier⋈nation⋈region collapses to one broadcast.
+    Every compared value is exact across engines: the division and min are
+    identical IEEE ops on identical doubles, so `unit_cost = best_cost`
+    selects the same rows in Spark and DuckDB, and the ORDER BY key
+    (s_acctbal, n_name, s_name, p_partkey) is unique per row, making the
+    LIMIT deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(p, cost.l_partkey == p.p_partkey)
+        .join(eu, cost.l_suppkey == eu.s_suppkey)
+        .withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "comp20_important_parts",
+    oracle=f"""
+        WITH natline AS (
+            SELECT l_partkey, l_extendedprice * (1 - l_discount) AS amount
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'AMERICA'
+        )
+        SELECT l_partkey AS p_partkey, {sql_dsum("amount")} AS part_value
+        FROM natline
+        GROUP BY l_partkey
+        HAVING {sql_dsum("amount")} >
+               CAST(0.001 AS DOUBLE) * (SELECT {sql_dsum("amount")} FROM natline)
+    """,
+    tags=("composite",),
+)
+def comp20_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose AMERICA-supplied value exceeds a
+    fraction of the region's total supplied value — HAVING against a
+    scalar subquery. (No partsupp table, so "supplied value" is the
+    region's discounted lineitem revenue per part; a region rather than
+    Q11's single nation keeps the filter non-degenerate at sf0.001.)
+
+    Scale shape: the nation-filtered line set is declared once and
+    consumed twice (per-part sum, global sum); the global sum is one row
+    and broadcasts into the HAVING filter, so the second consumption costs
+    a recompute of the filtered scan, not a second shuffle of the groups.
+    Both sums route through exact decimal (dsum), and the 0.001
+    multiplication is the same double op on both engines, so the HAVING
+    cut is bit-identical.
+    """
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    natline = li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+    )
+    per_part = natline.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum("amount").alias("part_value")
+    )
+    total = natline.agg((dsum("amount") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("p_partkey", "part_value")
+    )
+
+
+@query(
+    "comp21_supplier_breadth",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#17'
+          AND p_type NOT IN ('PROMO', 'LARGE')
+          AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("composite",),
+)
+def comp21_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each
+    qualifying (brand, type, size) bucket, excluding a blocklisted
+    supplier set (NOT-IN subquery — Q16's complaint filter, proxied by an
+    s_name pattern since the testdata carries no comment column). The
+    part-supplier relation is derived from lineitem.
+
+    Scale shape: the blocklist is a filtered dim → broadcast LEFT ANTI
+    join (no shuffle); the part filter broadcasts into the fact scan; the
+    only shuffle is the final count-distinct aggregation, whose
+    distinct-expand Spark handles with a two-phase partial aggregate. All
+    compared values are integers/strings — no FP concerns.
+    """
+    blocked = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#17")
+            & (~F.col("p_type").isin("PROMO", "LARGE"))
+            & (F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(blocked, li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "comp22_excess_quantity_suppliers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ), dominant AS (
+            SELECT l_suppkey
+            FROM (
+                SELECT l_suppkey, qty,
+                       CAST(SUM(CAST(qty AS DECIMAL(25,6)))
+                            OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_total
+                FROM shipped
+            )
+            WHERE qty > CAST(0.3 AS DOUBLE) * part_total
+        )
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    tags=("composite",),
+)
+def comp22_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA suppliers who dominated shipment of a 'small'
+    part in 1998 — shipped >30% of the part's year volume. Q20's nested
+    IN-subqueries (supplier IN (... part IN (...) HAVING qty > scalar))
+    become an aggregate-derived qualifying set consumed via a semi-join;
+    availqty is absent from the testdata, so dominance is measured against
+    the part's shipped total.
+
+    Scale shape: the inner aggregation shuffles lineitem once on
+    (partkey, suppkey); the per-part total reuses that partitioning via a
+    window (partkey is a prefix of the group key, so no second shuffle of
+    the fact); the qualifying supplier set is tiny → broadcast LEFT SEMI
+    into the region-filtered supplier dim. Both the group sum and the
+    window sum route through exact decimal, so the 0.3·total cut is
+    bit-identical across engines.
+    """
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn(
+            "part_total", F.sum(F.col("qty").cast("decimal(25,6)")).over(w).cast("double")
+        )
+        .filter(F.col("qty") > F.lit(0.3) * F.col("part_total"))
+        .select("l_suppkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")

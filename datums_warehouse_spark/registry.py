@@ -103,11 +103,17 @@ _GRADE_FRONT = (
 )
 
 # Round-7 rotation, prepared: the two keys that didn't fit the round-6
-# window (GRADED.md). Once CORRECTNESS_r06 lands, point _GRADE_FRONT here —
-# then every registered query has a driver row across r01-r07.
+# window (GRADED.md) plus the four subquery-heavy TPC-H shapes added in
+# round 6 (comp19-22, registered after the r06 window was frozen). Once
+# CORRECTNESS_r06 lands, point _GRADE_FRONT here — then every registered
+# query has a driver row across r01-r07.
 _GRADE_FRONT_R07 = (
     "o5_table_sample",
     "o5_stratified_sample",
+    "comp19_min_cost_supplier",
+    "comp20_important_parts",
+    "comp21_supplier_breadth",
+    "comp22_excess_quantity_suppliers",
 )
 
 
