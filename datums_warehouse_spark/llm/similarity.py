@@ -585,3 +585,74 @@ def l3_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MRL_TOPK)
         .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
     )
+
+
+@query(
+    "l22_embedding_outliers",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   sqrt({SQL_DDOT.format(a="embedding", b="embedding")}) AS norm
+            FROM embeddings
+        ), m AS (
+            SELECT CAST(SUM(CAST(norm AS DECIMAL(30,12))) AS DOUBLE)
+                       / count(*) AS mean
+            FROM n
+        ), s AS (
+            SELECT mean,
+                   sqrt(CAST(SUM(CAST((norm - mean) * (norm - mean)
+                                      AS DECIMAL(38,30))) AS DOUBLE)
+                        / (count(*) - 1)) AS sd
+            FROM n, m
+            GROUP BY mean
+        )
+        SELECT vec_id, round((norm - mean) / sd, 4) AS zscore
+        FROM n, s
+        WHERE abs(norm - mean) > 2.0 * sd
+    """,
+    tags=("L22",),
+)
+def l22_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate: vectors whose L2 norm sits >2σ from the
+    corpus mean. On a nominally unit-normalized embedding table (this one:
+    σ≈4e-8 around 1.0) norm outliers flag broken encoder batches, zero
+    vectors, and float-truncation bugs before they poison ANN recall or
+    contrastive training.
+
+    Scale shape: one scan computes per-row norms (JVM-side fold); a 1-row
+    mean broadcasts back over it; a second 1-row aggregate of squared
+    deviations yields σ and broadcasts again for the cut — three passes
+    over a narrow (id, norm) projection, no shuffle of the vectors.
+
+    Cross-engine determinism needs care at this σ: the norm fold matches
+    DuckDB's list_dot_product bit-for-bit (the proven l3 pattern), but the
+    one-pass E[x²]−E[x]² variance catastrophically cancels (the true
+    Σnorm² − n·mean² ≈ 6e-14 is at the ulp of Σnorm² ≈ 500) and can even go
+    negative — so σ comes from the two-pass Σ(norm−mean)², with the mean
+    routed through DECIMAL(30,12) and the ~1e-14-scale squared deviations
+    through DECIMAL(38,30), making every compared value and the 2σ cut
+    bit-identical on both engines.
+    """
+    n = with_norm(load(spark, sf_dir, "embeddings")).select("vec_id", "norm")
+    m = n.agg(
+        (F.sum(F.col("norm").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean"
+        )
+    )
+    dev2 = (F.col("norm") - F.col("mean")) * (F.col("norm") - F.col("mean"))
+    s = (
+        n.join(F.broadcast(m))
+        .agg(
+            F.first("mean").alias("mean"),
+            F.sum(dev2.cast("decimal(38,30)")).cast("double").alias("ss"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("mean", F.sqrt(F.col("ss") / (F.col("cnt") - 1)).alias("sd"))
+    )
+    return (
+        n.join(F.broadcast(s))
+        .filter(F.abs(F.col("norm") - F.col("mean")) > 2.0 * F.col("sd"))
+        .select(
+            "vec_id", F.round((F.col("norm") - F.col("mean")) / F.col("sd"), 4).alias("zscore")
+        )
+    )

@@ -451,3 +451,161 @@ def l19_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_docs", "weight")
         .agg(F.count(F.when(unit < F.col("weight"), 1)).alias("n_kept"))
     )
+
+
+@query(
+    "l20_repetition_filter",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2] || ' ' ||
+                            string_split(text, ' ')[i + 3]
+                   ) AS tg
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        )
+        SELECT doc_id,
+               len(tg) AS n_trigrams,
+               len(list_distinct(tg)) AS n_distinct,
+               round((len(tg) - len(list_distinct(tg)))
+                     / CAST(len(tg) AS DOUBLE), 6) AS rep_frac,
+               (len(tg) - len(list_distinct(tg)))
+                   / CAST(len(tg) AS DOUBLE) > 0.2 AS is_repetitive
+        FROM t
+    """,
+    tags=("L20",),
+)
+def l20_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter: the fraction of word
+    trigrams that are duplicates of an earlier trigram in the same doc.
+    Heavily repetitive documents (boilerplate, scraper loops, template
+    spam) are the classic pre-training noise this gate removes.
+
+    Scale shape: entirely per-row — the trigram array, its distinct count,
+    and the ratio are computed inside one projection (transform +
+    array_distinct), so the operator is a pure map over the corpus scan
+    with ZERO shuffles; 100 TB streams through at scan speed. The flag
+    threshold compares the same IEEE division on both engines, and rep_frac
+    is rounded only for display.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.size(TOKS()) >= 3)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - 3)
+    trigram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    rep = (F.col("n_trigrams") - F.col("n_distinct")) / F.col("n_trigrams").cast("double")
+    return (
+        d.select("doc_id", TOKS().alias("toks"))
+        .select("doc_id", trigram.alias("tg"))
+        .select(
+            "doc_id",
+            F.size("tg").cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct("tg")).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_distinct",
+            F.round(rep, 6).alias("rep_frac"),
+            (rep > 0.2).alias("is_repetitive"),
+        )
+    )
+
+
+@query(
+    "l21_source_overlap",
+    oracle="""
+        WITH tg AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(
+                       range(len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2] || ' ' ||
+                            string_split(text, ' ')[i + 3]
+                   )) AS g
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), sz AS (
+            SELECT source, count(*) AS n FROM tg GROUP BY source
+        ), common AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_common
+            FROM tg a JOIN tg b ON a.g = b.g AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM common
+        JOIN sz sa ON sa.source = source_a
+        JOIN sz sb ON sb.source = source_b
+    """,
+    tags=("L21",),
+)
+def l21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination heat map: trigram-set Jaccard for
+    every pair of corpus sources. The corpus-curation question this
+    answers — "which scrapes overlap enough that keeping both double-counts
+    the same text?" — drives source-level dedup decisions before any
+    per-document pass.
+
+    Scale shape: the per-source DISTINCT collapses each source's trigrams
+    first (shuffle on (source, gram), map-side combinable), so the overlap
+    self-join runs on *sets*, never raw token streams — each gram appears
+    at most once per source, bounding join fan-out per gram at the number
+    of sources, not the corpus size. Per-source set sizes are a tiny
+    aggregate that broadcasts into the final projection. Never all-pairs
+    on documents; linear in corpus volume plus |sources|² output rows.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.size(TOKS()) >= 3)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - 3)
+    trigram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    tg = (
+        d.select("source", TOKS().alias("toks"))
+        .select("source", F.explode(trigram).alias("g"))
+        .distinct()
+    )
+    sz = F.broadcast(tg.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
+    a = tg.select(F.col("source").alias("source_a"), F.col("g").alias("g_a"))
+    b = tg.select(F.col("source").alias("source_b"), F.col("g").alias("g_b"))
+    common = (
+        a.join(b, (F.col("g_a") == F.col("g_b")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sz.withColumnRenamed("source", "source_a").withColumnRenamed("n", "n_a"), "source_a")
+        .join(sz.withColumnRenamed("source", "source_b").withColumnRenamed("n", "n_b"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -114,6 +114,9 @@ _GRADE_FRONT_R07 = (
     "comp20_important_parts",
     "comp21_supplier_breadth",
     "comp22_excess_quantity_suppliers",
+    "l20_repetition_filter",
+    "l21_source_overlap",
+    "l22_embedding_outliers",
 )
 
 
