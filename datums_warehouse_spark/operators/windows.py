@@ -275,8 +275,8 @@ def w8_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w9_distribution_ranks",
     oracle="""
         SELECT c_custkey, c_nationkey, c_acctbal,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
                first_value(c_acctbal) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                    AND UNBOUNDED FOLLOWING) AS top_bal,
                nth_value(c_acctbal, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
@@ -291,8 +291,12 @@ def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank family per nation: percent_rank, cume_dist, and
     first/nth value over the full-partition frame — the remaining window
     functions W1's ranking family doesn't cover. Ordered on a unique
-    (measure, key) pair so both engines rank identical rows; the ratios
-    are exact small-integer divisions rounded at 6dp.
+    (measure, key) pair so both engines rank identical rows. The ratios
+    are emitted UNROUNDED: both engines compute the identical integer
+    division (rank-1)/(n-1) in doubles, so raw values are bit-identical —
+    whereas round(x, 6) diverges cross-engine whenever a rank ratio lands
+    exactly on a .5 ulp boundary (with n-1 = 640-style divisors that is
+    every odd numerator; found as a real sf0.1 mismatch in round 6).
     """
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -303,8 +307,8 @@ def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.first("c_acctbal").over(w_full).alias("top_bal"),
         F.nth_value("c_acctbal", 2).over(w_full).alias("runner_up_bal"),
     )
