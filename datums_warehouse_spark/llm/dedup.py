@@ -158,7 +158,7 @@ def sql_jaccard_verify(threshold: float) -> str:
     return f"""
         {SQL_JACCARD_CTES}
         SELECT doc_a, doc_b,
-               round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+               CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jaccard
         FROM inter
         JOIN sizes na ON na.doc_id = doc_a
         JOIN sizes nb ON nb.doc_id = doc_b
@@ -199,7 +199,7 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
     jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
         inter.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -538,7 +538,7 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
         .filter(jac >= NGRAM_JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -651,7 +651,7 @@ DECON_MIN_OVERLAP = 0.3  # fraction of an eval doc's shingles found in one train
             GROUP BY 1, 2
         )
         SELECT eval_doc, train_doc,
-               round(CAST(ni AS DOUBLE) / esz.n, 6) AS overlap
+               CAST(ni AS DOUBLE) / esz.n AS overlap
         FROM hits JOIN esz ON esz.doc_id = eval_doc
         WHERE CAST(ni AS DOUBLE) / esz.n >= {DECON_MIN_OVERLAP}
     """,
@@ -711,5 +711,5 @@ def l18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hits.join(esz.select(F.col("doc_id").alias("eval_doc"), "n"), "eval_doc")
         .filter(overlap >= DECON_MIN_OVERLAP)
-        .select("eval_doc", "train_doc", F.round(overlap, 6).alias("overlap"))
+        .select("eval_doc", "train_doc", overlap.alias("overlap"))
     )

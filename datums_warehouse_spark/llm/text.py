@@ -153,7 +153,7 @@ SQL_STOP_RATIO = f"""
     "l11_language_id",
     oracle=f"""
         SELECT doc_id,
-               round({SQL_STOP_RATIO}, 6) AS stop_ratio,
+               {SQL_STOP_RATIO} AS stop_ratio,
                CASE WHEN {SQL_STOP_RATIO} >= 0.15 THEN 'en' ELSE 'unk' END AS lang_pred
         FROM documents
     """,
@@ -169,7 +169,7 @@ def l11_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = n_stop.cast("double") / F.size(TOKS())
     return d.select(
         "doc_id",
-        F.round(ratio, 6).alias("stop_ratio"),
+        ratio.alias("stop_ratio"),
         F.when(ratio >= 0.15, "en").otherwise("unk").alias("lang_pred"),
     )
 
@@ -180,13 +180,13 @@ def l11_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                n_chars,
-               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS distinct_ratio,
-               round(CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS avg_token_len,
-               round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
-                     * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                        / len(string_split(text, ' '))), 6) AS quality
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_token_len,
+               least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+                   * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' '))) AS quality
         FROM documents
     """,
     tags=("L12",),
@@ -204,9 +204,9 @@ def l12_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         "n_chars",
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(avg_tok_len, 6).alias("avg_token_len"),
-        F.round(quality, 6).alias("quality"),
+        distinct_ratio.alias("distinct_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        quality.alias("quality"),
     )
 
 
@@ -408,7 +408,7 @@ MIX_SCALE = 1_000_000  # hash-to-unit-interval resolution for the keep rule
         tgt AS (SELECT min(n_docs) AS target FROM per_source),
         weighted AS (
             SELECT source, n_docs,
-                   round(CAST(target AS DOUBLE) / n_docs, 6) AS weight
+                   CAST(target AS DOUBLE) / n_docs AS weight
             FROM per_source CROSS JOIN tgt
         )
         SELECT w.source, w.n_docs, w.weight,
@@ -441,7 +441,7 @@ def l19_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = per_source.crossJoin(F.broadcast(tgt)).select(
         "source",
         "n_docs",
-        F.round(F.col("target").cast("double") / F.col("n_docs"), 6).alias("weight"),
+        (F.col("target").cast("double") / F.col("n_docs")).alias("weight"),
     )
     unit = (
         hash48(F.col("doc_id").cast("string")) % MIX_SCALE
@@ -470,8 +470,8 @@ def l19_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len(tg) AS n_trigrams,
                len(list_distinct(tg)) AS n_distinct,
-               round((len(tg) - len(list_distinct(tg)))
-                     / CAST(len(tg) AS DOUBLE), 6) AS rep_frac,
+               (len(tg) - len(list_distinct(tg)))
+                   / CAST(len(tg) AS DOUBLE) AS rep_frac,
                (len(tg) - len(list_distinct(tg)))
                    / CAST(len(tg) AS DOUBLE) > 0.2 AS is_repetitive
         FROM t
@@ -516,7 +516,7 @@ def l20_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_trigrams",
             "n_distinct",
-            F.round(rep, 6).alias("rep_frac"),
+            rep.alias("rep_frac"),
             (rep > 0.2).alias("is_repetitive"),
         )
     )
@@ -545,8 +545,7 @@ def l20_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT source_a, source_b, n_common,
                sa.n AS n_a, sb.n AS n_b,
-               round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
-                   AS jaccard
+               n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
         FROM common
         JOIN sz sa ON sa.source = source_a
         JOIN sz sb ON sb.source = source_b
@@ -602,10 +601,9 @@ def l21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "n_a",
             "n_b",
-            F.round(
+            (
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
             ).alias("jaccard"),
         )
     )

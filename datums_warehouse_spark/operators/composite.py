@@ -103,7 +103,7 @@ def comp2_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.user_id AS user_id,
                count(*) AS n_clicks,
                count(v.ts) AS n_converted,
-               round(CAST(count(v.ts) AS DOUBLE) / count(*), 6) AS conversion_rate
+               CAST(count(v.ts) AS DOUBLE) / count(*) AS conversion_rate
         FROM clicks c
         LEFT JOIN converted v ON v.user_id = c.user_id AND v.ts = c.ts
         GROUP BY c.user_id
@@ -133,7 +133,7 @@ def comp3_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("converted").alias("n_converted"),
-        F.round(F.count("converted").cast("double") / F.count(F.lit(1)), 6).alias(
+        (F.count("converted").cast("double") / F.count(F.lit(1))).alias(
             "conversion_rate"
         ),
     )
@@ -159,8 +159,8 @@ def comp3_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                b.n_candles AS n_candles,
                CAST(date_diff('hour', b.h0, b.h1) + 1 AS BIGINT) AS n_expected,
                CAST(date_diff('hour', b.h0, b.h1) + 1 AS BIGINT) - b.n_candles AS n_gaps,
-               round(CAST(b.n_candles AS DOUBLE)
-                     / (date_diff('hour', b.h0, b.h1) + 1), 6) AS completeness,
+               CAST(b.n_candles AS DOUBLE)
+                   / (date_diff('hour', b.h0, b.h1) + 1) AS completeness,
                l.last_close AS last_close
         FROM bounds b JOIN latest l ON b.series = l.series
     """,
@@ -188,7 +188,7 @@ def comp4_series_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candles",
         n_expected.alias("n_expected"),
         (n_expected - F.col("n_candles")).alias("n_gaps"),
-        F.round(F.col("n_candles").cast("double") / n_expected, 6).alias("completeness"),
+        (F.col("n_candles").cast("double") / n_expected).alias("completeness"),
         "last_close",
     )
 
