@@ -49,6 +49,7 @@ _MODULES = (
     "datums_warehouse_spark.llm.text",
     "datums_warehouse_spark.llm.multimodal",
     "datums_warehouse_spark.sources.sinks",
+    "datums_warehouse_spark.sources.pysource",
     "datums_warehouse_spark.streaming.batch_equiv",
 )
 
@@ -117,6 +118,7 @@ _GRADE_FRONT_R07 = (
     "l20_repetition_filter",
     "l21_source_overlap",
     "l22_embedding_outliers",
+    "s10_python_datasource",
 )
 
 
