@@ -119,6 +119,7 @@ _GRADE_FRONT_R07 = (
     "l21_source_overlap",
     "l22_embedding_outliers",
     "s10_python_datasource",
+    "t11_stream_python_source",
 )
 
 

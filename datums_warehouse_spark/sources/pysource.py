@@ -105,3 +105,126 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "t11_stream_python_source",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("T11", "stream", "eager"),
+)
+def t11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom *streaming* Python DataSource: the events table replayed as
+    a micro-batch stream through `DataSourceStreamReader` — offset
+    planning on the driver (JSON row-range offsets, ≤50k rows per batch),
+    per-batch executor fan-out (4 range slices), Arrow-batched reads, and
+    an exactly-once commit loop — then aggregated by a normal streaming
+    query (complete mode, in-memory sink) and drained to termination.
+
+    Because the source replays a fixed table to exhaustion, the final
+    counts/sums are deterministic and the query is FULLY oracle-checked —
+    unlike the t4/t7 rows-only streams, this one proves the custom
+    connector's offset arithmetic end to end: a lost or double-read range
+    would shift the hash.
+
+    Scale shape: this is the connector pattern for a feed Spark can't read
+    natively (queue, service API, bespoke format). State is one (sum,
+    count) pair per event_type; offsets are O(1) JSON; each micro-batch
+    fans out executor-side, so throughput scales with the cluster, not the
+    driver. The decimal-cast sum keeps the streamed total bit-identical to
+    the batch oracle regardless of merge order.
+    """
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+    from datums_warehouse_spark.session import scoped_shuffle_partitions
+
+    path = os.path.join(sf_dir, "events.parquet")
+    CHUNK = 50_000  # rows per micro-batch
+    SLICES = 4  # executor partitions per batch
+
+    class _RangeSplit(InputPartition):
+        def __init__(self, path: str, lo: int, hi: int):
+            self.path, self.lo, self.hi = path, lo, hi
+
+    class _EventsStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self._path = options["path"]
+            import pyarrow.parquet as pq
+
+            self._n = pq.ParquetFile(self._path).metadata.num_rows
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def latestOffset(self):
+            # Advance at most CHUNK rows per micro-batch: bounded batches
+            # are what keep state growth and retry cost predictable on an
+            # unbounded feed.
+            cur = getattr(self, "_cur", 0)
+            nxt = min(cur + CHUNK, self._n)
+            self._cur = nxt
+            return {"row": nxt}
+
+        def partitions(self, start, end):
+            lo, hi = start["row"], end["row"]
+            if hi <= lo:
+                return [_RangeSplit(self._path, lo, lo)]
+            step = max(1, (hi - lo + SLICES - 1) // SLICES)
+            return [
+                _RangeSplit(self._path, a, min(a + step, hi))
+                for a in range(lo, hi, step)
+            ]
+
+        def read(self, split):
+            import pyarrow.parquet as pq
+
+            if split.hi <= split.lo:
+                return
+            table = pq.ParquetFile(split.path).read(columns=["event_type", "value"])
+            yield from table.slice(split.lo, split.hi - split.lo).to_batches()
+
+        def commit(self, end):
+            # Nothing to clean up for a replayable file; a queue-backed
+            # source would acknowledge-and-trim up to `end` here.
+            pass
+
+    class _EventsStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "events_stream_pyarrow"
+
+        def schema(self) -> str:
+            return "event_type string, value double"
+
+        def streamReader(self, schema):
+            return _EventsStreamReader(self.options)
+
+    spark.dataSource.register(_EventsStreamSource)
+    stream = (
+        spark.readStream.format("events_stream_pyarrow").option("path", path).load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
+    name = f"t11_pysrc_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    return spark.table(name)
