@@ -208,6 +208,43 @@ def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a9b_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, value
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+              AND l_shipdate <  TIMESTAMP '1998-07-01'
+        ) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    tags=("A9",),
+)
+def a9b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of a9's pivot: wide measure columns melted to
+    (key, metric, value) rows, the normalization step before generic
+    per-metric aggregation or sparse storage.
+
+    Scale shape: a pure per-row projection (each input row expands to
+    exactly |measures| output rows inside the scan's task — Spark compiles
+    `unpivot` to an Expand node), no shuffle, filter pushed to the scan.
+    Values are copied, not computed, so cross-engine equality is exact.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-06-01") & (F.col("l_shipdate") < "1998-07-01")
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+
+
+@query(
     "a10_stats",
     oracle="""
         SELECT event_type,

@@ -120,6 +120,7 @@ _GRADE_FRONT_R07 = (
     "l22_embedding_outliers",
     "s10_python_datasource",
     "t11_stream_python_source",
+    "a9b_unpivot",
 )
 
 

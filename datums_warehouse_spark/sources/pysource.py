@@ -50,38 +50,89 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     `docs_pyarrow` source, proving the connector composes with ordinary
     relational operators and the whole plan stays lazy until action.
     """
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+    )
 
     path = os.path.join(sf_dir, "documents.parquet")
+    # Opt into connector-side predicate pushdown (off by default in Spark
+    # 4.1). With it on, the n_chars filter below reaches pushFilters() and
+    # the scan prunes row groups + rows itself; with it off (the driver's
+    # vanilla session), Spark keeps the Filter node — both plans are
+    # correct, which is exactly the contract pushdown must satisfy.
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # unknown conf on an older runtime: plan-side filtering only
 
     class _RowGroupSplit(InputPartition):
-        def __init__(self, path: str, row_group: int):
+        def __init__(self, path: str, row_group: int, min_chars):
             self.path = path
             self.row_group = row_group
+            self.min_chars = min_chars
 
     class _DocsReader(DataSourceReader):
         COLUMNS = ["doc_id", "lang", "n_chars"]
 
         def __init__(self, options):
             self._path = options["path"]
+            self._min_chars = None
+
+        def pushFilters(self, filters):
+            # Accept `n_chars >= v`; everything else stays in the Spark
+            # plan. CONTRACT: an accepted filter is REMOVED from the plan,
+            # so read() must apply it exactly, not best-effort.
+            for f in filters:
+                if (
+                    isinstance(f, GreaterThanOrEqual)
+                    and f.attribute == ("n_chars",)
+                    and isinstance(f.value, int)
+                ):
+                    self._min_chars = f.value
+                else:
+                    yield f
 
         def partitions(self):
             # Driver-side split planning: metadata-only footer read, one
             # split per row group (the native parquet scan's granularity).
+            # With a pushed filter, row groups whose column statistics
+            # cannot match are pruned here — the same stats-skipping the
+            # native parquet reader does, now inside the connector.
             import pyarrow.parquet as pq
 
-            n = pq.ParquetFile(self._path).num_row_groups
-            return [_RowGroupSplit(self._path, rg) for rg in range(n)]
+            meta = pq.ParquetFile(self._path).metadata
+            # Stats are indexed in FILE column order, not projection order.
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
+                "n_chars"
+            ]
+            splits = []
+            for rg in range(meta.num_row_groups):
+                if self._min_chars is not None:
+                    stats = meta.row_group(rg).column(idx).statistics
+                    if stats is not None and stats.has_min_max:
+                        if stats.max < self._min_chars:
+                            continue  # no row in this group can pass
+                splits.append(_RowGroupSplit(self._path, rg, self._min_chars))
+            return splits
 
         def read(self, partition):
             # Executor-side: stream the split's Arrow batches. Projection
             # is explicit — a custom connector must prune columns itself;
-            # nothing upstream can reach inside its format.
+            # nothing upstream can reach inside its format. The accepted
+            # pushed filter is applied exactly, per the pushdown contract.
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             table = pq.ParquetFile(partition.path).read_row_group(
                 partition.row_group, columns=self.COLUMNS
             )
+            if partition.min_chars is not None:
+                table = table.filter(
+                    pc.greater_equal(table["n_chars"], partition.min_chars)
+                )
             yield from table.to_batches()
 
     class _DocsSource(DataSource):
