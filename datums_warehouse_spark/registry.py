@@ -121,6 +121,7 @@ _GRADE_FRONT_R07 = (
     "s10_python_datasource",
     "t11_stream_python_source",
     "a9b_unpivot",
+    "s11_python_datasink",
 )
 
 

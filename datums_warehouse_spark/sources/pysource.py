@@ -25,6 +25,8 @@ repo on PYTHONPATH.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,3 +281,127 @@ def t11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         q.awaitTermination(60)
     return spark.table(name)
+
+
+@query(
+    "s11_python_datasink",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE value >= 0
+        GROUP BY event_type
+    """,
+    tags=("S11", "eager"),
+)
+def s11_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource *writer*: events written through a
+    `DataSourceArrowWriter` with the full distributed-commit protocol —
+    each task streams its partition's Arrow batches into its own part
+    file and returns a commit message; the driver's commit() publishes a
+    manifest naming exactly the committed parts (a failed/speculative
+    task's orphan file is never listed, so readers get all-or-nothing
+    visibility). The graded result re-reads ONLY manifest-listed parts
+    and aggregates — a lost partition, double write, or torn commit would
+    shift the hash against the batch oracle.
+
+    This is the write-path twin of S10/T11 and the pattern for sinks
+    Spark can't write natively (feature stores, service APIs, bespoke
+    formats). Scale shape: one writer task per input partition, Arrow
+    zero-copy out of the JVM, O(#tasks) commit messages on the driver —
+    the same topology as Spark's native FileFormatWriter commit.
+    """
+    import glob as _glob
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    from datums_warehouse_spark.sources.tables import events_us
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    out_dir = os.path.join(tempfile.gettempdir(), "dws_pysink", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _PartCommit(WriterCommitMessage):
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class _ArrowPartWriter(DataSourceArrowWriter):
+        def __init__(self, path: str):
+            self._path = path
+
+        def write(self, iterator):
+            # Executor-side: stream RecordBatches into a task-private part
+            # file. The uuid name makes speculative/retried attempts
+            # collision-free; only the attempt whose message reaches
+            # commit() becomes visible.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fname = f"part-{uuid.uuid4().hex}.parquet"
+            full = os.path.join(self._path, fname)
+            writer = None
+            n = 0
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                n += batch.num_rows
+            if writer is not None:
+                writer.close()
+            return _PartCommit(fname, n)
+
+        def commit(self, messages):
+            # Driver-side, exactly once: publish the manifest of committed
+            # parts. Readers resolve the dataset through it, never by
+            # listing the directory.
+            manifest = os.path.join(self._path, "_MANIFEST")
+            with open(manifest, "w") as fh:
+                for m in messages:
+                    if m is not None and m.n_rows > 0:
+                        fh.write(m.filename + "\n")
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self._path, m.filename))
+                    except OSError:
+                        pass
+
+    class _PySink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "events_pyarrow_sink"
+
+        def writer(self, schema, overwrite):
+            return _ArrowPartWriter(self.options["path"])
+
+    spark.dataSource.register(_PySink)
+    events = events_us(spark, sf_dir).filter(F.col("value") >= 0).select(
+        "event_type", "value"
+    )
+    events.write.format("events_pyarrow_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+
+    committed = [
+        os.path.join(out_dir, line.strip())
+        for line in open(os.path.join(out_dir, "_MANIFEST"))
+        if line.strip()
+    ]
+    orphans = set(_glob.glob(os.path.join(out_dir, "part-*.parquet"))) - set(committed)
+    # Orphan parts (aborted attempts) may exist on disk; correctness comes
+    # from reading the manifest, not the listing.
+    back = spark.read.parquet(*committed)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
