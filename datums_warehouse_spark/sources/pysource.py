@@ -97,27 +97,47 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     yield f
 
+        def _files(self):
+            # A parquet "path" is either a single file or a Spark-written
+            # directory of part files (possibly zero parts for an empty
+            # write) — a connector must serve both layouts.
+            import glob as _glob
+
+            if os.path.isdir(self._path):
+                return sorted(
+                    f
+                    for f in _glob.glob(os.path.join(self._path, "*.parquet"))
+                    if os.path.isfile(f)
+                )
+            return [self._path]
+
         def partitions(self):
-            # Driver-side split planning: metadata-only footer read, one
-            # split per row group (the native parquet scan's granularity).
-            # With a pushed filter, row groups whose column statistics
-            # cannot match are pruned here — the same stats-skipping the
-            # native parquet reader does, now inside the connector.
+            # Driver-side split planning: metadata-only footer reads, one
+            # split per (file, row group) — the native parquet scan's
+            # granularity. With a pushed filter, row groups whose column
+            # statistics cannot match are pruned here — the same
+            # stats-skipping the native parquet reader does, now inside
+            # the connector.
             import pyarrow.parquet as pq
 
-            meta = pq.ParquetFile(self._path).metadata
-            # Stats are indexed in FILE column order, not projection order.
-            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
-                "n_chars"
-            ]
             splits = []
-            for rg in range(meta.num_row_groups):
-                if self._min_chars is not None:
-                    stats = meta.row_group(rg).column(idx).statistics
-                    if stats is not None and stats.has_min_max:
-                        if stats.max < self._min_chars:
-                            continue  # no row in this group can pass
-                splits.append(_RowGroupSplit(self._path, rg, self._min_chars))
+            for path in self._files():
+                meta = pq.ParquetFile(path).metadata
+                # Stats are in FILE column order, not projection order.
+                idx = {
+                    meta.schema.column(i).name: i for i in range(meta.num_columns)
+                }["n_chars"]
+                for rg in range(meta.num_row_groups):
+                    if self._min_chars is not None:
+                        stats = meta.row_group(rg).column(idx).statistics
+                        if stats is not None and stats.has_min_max:
+                            if stats.max < self._min_chars:
+                                continue  # no row in this group can pass
+                    splits.append(_RowGroupSplit(path, rg, self._min_chars))
+            if not splits:
+                # Empty dataset (0 parts / 0 row groups): one no-op split —
+                # the scan must still yield an empty result, not fail to plan.
+                return [_RowGroupSplit(self._path, -1, self._min_chars)]
             return splits
 
         def read(self, partition):
@@ -128,6 +148,8 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            if partition.row_group < 0:
+                return
             table = pq.ParquetFile(partition.path).read_row_group(
                 partition.row_group, columns=self.COLUMNS
             )
