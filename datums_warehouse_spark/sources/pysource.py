@@ -334,7 +334,6 @@ def s11_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-copy out of the JVM, O(#tasks) commit messages on the driver —
     the same topology as Spark's native FileFormatWriter commit.
     """
-    import glob as _glob
     import uuid
 
     from pyspark.sql.datasource import (
@@ -414,14 +413,13 @@ def s11_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).save()
 
+    # Readers resolve the dataset through the manifest, never by listing
+    # the directory — orphan parts from failed attempts stay invisible.
     committed = [
         os.path.join(out_dir, line.strip())
         for line in open(os.path.join(out_dir, "_MANIFEST"))
         if line.strip()
     ]
-    orphans = set(_glob.glob(os.path.join(out_dir, "part-*.parquet"))) - set(committed)
-    # Orphan parts (aborted attempts) may exist on disk; correctness comes
-    # from reading the manifest, not the listing.
     back = spark.read.parquet(*committed)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
