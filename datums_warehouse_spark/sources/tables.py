@@ -44,7 +44,19 @@ _SCHEMA_CACHE: dict[tuple[int, str, str], object] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one warehouse table. The only sanctioned way to read testdata."""
+    """Scan one warehouse table. The only sanctioned way to read testdata.
+
+    Pins ``spark.sql.session.timeZone`` to UTC: the warehouse's event-time
+    semantics are naive wall clock, and only a DST-free session timeline
+    reproduces them exactly — on a non-UTC session, date bucketing drifts
+    from the stored wall clock and DST-gap hours (e.g. 02:30 on a US
+    spring-forward day, present in an hourly naive series) are ambiguous
+    or nonexistent, silently merging or shifting buckets. The tuned
+    session (session.py) already sets this at build; pinning here covers
+    externally built sessions (the driver's vanilla one) on any host.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     key = (id(spark), sf_dir, name)
