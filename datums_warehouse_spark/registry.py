@@ -42,6 +42,7 @@ _MODULES = (
     "datums_warehouse_spark.operators.sort_set",
     "datums_warehouse_spark.operators.timeseries",
     "datums_warehouse_spark.operators.composite",
+    "datums_warehouse_spark.operators.sql_surface",
     "datums_warehouse_spark.functions.scalars",
     "datums_warehouse_spark.functions.udf_surface",
     "datums_warehouse_spark.llm.dedup",
@@ -122,6 +123,8 @@ _GRADE_FRONT_R07 = (
     "t11_stream_python_source",
     "a9b_unpivot",
     "s11_python_datasink",
+    "sql1_pricing_summary_full",
+    "sql2_top_orders_per_segment",
 )
 
 
