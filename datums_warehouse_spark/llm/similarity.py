@@ -656,3 +656,64 @@ def l22_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.round((F.col("norm") - F.col("mean")) / F.col("sd"), 4).alias("zscore")
         )
     )
+
+
+@query(
+    "l23_kmeans_assign",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding AS cemb,
+                   {SQL_DDOT.format(a="embedding", b="embedding")} AS cc
+            FROM embeddings WHERE vec_id < 8
+        ), v AS (
+            SELECT vec_id, embedding,
+                   {SQL_DDOT.format(a="embedding", b="embedding")} AS vv
+            FROM embeddings
+        ), d AS (
+            SELECT vec_id, cid,
+                   vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")} + cc AS d2,
+                   CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
+                                + cc, cid
+                   ) AS BIGINT) AS rn
+            FROM v CROSS JOIN c
+        )
+        SELECT vec_id, cid, d2 FROM d WHERE rn = 1
+    """,
+    tags=("L23",),
+)
+def l23_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means E-step: assign every vector to its nearest of K=8 fixed
+    centroids (here: the first 8 vectors — a deterministic init) by
+    squared L2. The primitive under IVF coarse-quantizer training and
+    semantic corpus clustering; the M-step is l10_centroids' posexplode
+    mean, so Lloyd iterations compose from two already-graded shapes.
+
+    Scale shape: centroids broadcast (K rows), candidates stream through
+    the scan — O(N·K) fused multiply work, no shuffle of the vectors; the
+    per-vector argmin is a WindowGroupLimit-style rank over K rows keyed
+    by vec_id. Cross-engine determinism: d2 = vv - 2·ab + cc from three
+    list folds, the identical IEEE expression on both engines (the proven
+    l3 pattern), with cid breaking distance ties.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    c = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            ddot("embedding", "embedding").alias("cc"),
+        )
+    )
+    v = emb.select(
+        "vec_id", "embedding", ddot("embedding", "embedding").alias("vv")
+    )
+    d2 = F.col("vv") - 2 * ddot("embedding", "cemb") + F.col("cc")
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+    return (
+        v.join(c)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2")
+    )

@@ -125,6 +125,7 @@ _GRADE_FRONT_R07 = (
     "s11_python_datasink",
     "sql1_pricing_summary_full",
     "sql2_top_orders_per_segment",
+    "l23_kmeans_assign",
 )
 
 
