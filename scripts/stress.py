@@ -65,6 +65,13 @@ QUERIES = [
     "t3_session_window",
     "w8_sliding_distinct_users",
     "x3b_interpolate_scaled",
+    # round-6 additions: zero-shuffle doc map, source-overlap self-join,
+    # k-means E-step, Q2-shape decorrelation, custom Python connector
+    "l20_repetition_filter",
+    "l21_source_overlap",
+    "l23_kmeans_assign",
+    "comp19_min_cost_supplier",
+    "s10_python_datasource",
 ]
 # Oracles skipped at M× (DuckDB-side cost explodes on the recursive /
 # quadratic constructions; Spark timing still measured).
