@@ -289,3 +289,52 @@ def f8_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long").alias("hash_bucket_key"),
     )
+
+
+@query(
+    "f9_safe_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               TRY_CAST(CASE WHEN l_linenumber = 3 THEN 'not_a_number'
+                             ELSE CAST(l_orderkey AS VARCHAR) END
+                        AS BIGINT) AS safe_int,
+               CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                    ELSE l_extendedprice / (l_linenumber - 1) END AS safe_div,
+               TRY_CAST(CASE WHEN l_linenumber = 2 THEN 'garbage'
+                             ELSE '1998-01-02 03:04:05' END
+                        AS TIMESTAMP) AS safe_ts,
+               [l_orderkey, CAST(l_linenumber AS BIGINT)][l_linenumber] AS safe_at
+        FROM lineitem
+        WHERE l_orderkey < 2000
+    """,
+    tags=("F9",),
+)
+def f9_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar family: ``try_cast`` / ``try_divide`` /
+    ``try_to_timestamp`` / ``try_element_at`` — null-on-error instead of
+    job-killing exceptions, the production posture for malformed feeds
+    under ANSI mode (one bad row in 100 TB must not abort the stage).
+    Malformed inputs are synthesized deterministically (line 3 → bad int,
+    line 2 → bad timestamp, divisor hits zero at line 1, index walks past
+    the 2-element array at line 3+), so the NULL pattern is exact on both
+    engines; DuckDB mirrors with TRY_CAST / NULLIF-style guards / its
+    natively NULL-on-out-of-bounds list index.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    mixed = F.when(F.col("l_linenumber") == 3, "not_a_number").otherwise(
+        F.col("l_orderkey").cast("string")
+    )
+    ts_str = F.when(F.col("l_linenumber") == 2, "garbage").otherwise(
+        "1998-01-02 03:04:05"
+    )
+    arr = F.array(F.col("l_orderkey"), F.col("l_linenumber").cast("long"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        mixed.try_cast("bigint").alias("safe_int"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1).alias(
+            "safe_div"
+        ),
+        F.try_to_timestamp(ts_str).alias("safe_ts"),
+        F.try_element_at(arr, F.col("l_linenumber")).alias("safe_at"),
+    )

@@ -126,6 +126,7 @@ _GRADE_FRONT_R07 = (
     "sql1_pricing_summary_full",
     "sql2_top_orders_per_segment",
     "l23_kmeans_assign",
+    "f9_safe_funcs",
 )
 
 
