@@ -338,18 +338,19 @@ PACK_BUDGET = 128  # tokens per packed sequence
 def l16_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to ~128-token training sequences by
     cumulative token count (the streaming-greedy packer, exact integer
-    arithmetic). A global ordered window — at 100 TB this would run per
-    shard (the pack boundary is shard-local anyway); graded form shows the
-    semantics."""
-    from pyspark.sql import Window
+    arithmetic). The running total runs as 32 parallel doc_id-range shards
+    plus a broadcast per-shard offset (operators/sharded.py) — no
+    unpartitioned window anywhere in the plan, output bit-identical to the
+    single-window oracle formulation."""
+    from datums_warehouse_spark.operators.sharded import range_sharded_cumsum
 
     d = load(spark, sf_dir, "documents")
     sized = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return sized.select(
+    cum = range_sharded_cumsum(sized, "doc_id", ["doc_id"], F.col("n_tokens"), "__cum")
+    return cum.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
+        F.floor((F.col("__cum") - 1) / PACK_BUDGET).cast("long").alias("pack_id"),
     )
 
 

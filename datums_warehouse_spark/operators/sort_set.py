@@ -270,12 +270,14 @@ def o6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     A ts-sorted layout gives every page the full user range (point lookups
     on user scan everything); Z-ordering bounds each page's span in both
     dims to ~√(pages) cells, so a predicate on either dimension prunes ~all
-    pages (tests assert the span contraction). At 100 TB this is
-    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` at write time —
-    the global sort here is the same range-exchange shape. The interleave
-    is pure integer bit math generated from ONE template for both engines.
+    pages (tests assert the span contraction). The global row number that
+    cuts the pages runs as 32 parallel zkey-range shards plus a broadcast
+    per-shard offset (operators/sharded.py) — the same per-range-offset
+    bookkeeping a ``repartitionByRange(zkey)`` layout write does, with no
+    unpartitioned window in the plan. The interleave is pure integer bit
+    math generated from ONE template for both engines.
     """
-    from pyspark.sql import Window
+    from datums_warehouse_spark.operators.sharded import range_sharded_cumsum
 
     e = events_us(spark, sf_dir)
     dims = e.select(
@@ -284,10 +286,10 @@ def o6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("user_id", F.lit(1 << ZBITS)).cast("long").alias("ydim"),
     )
     keyed = dims.withColumn("zkey", F.expr(_Z_SPARK))
-    w = Window.orderBy("zkey", "event_id")
-    paged = keyed.withColumn(
-        "page", ((F.row_number().over(w) - 1) / ZPAGE).cast("long")
+    rn = range_sharded_cumsum(
+        keyed, "zkey", ["zkey", "event_id"], F.lit(1).cast("long"), "__rn"
     )
+    paged = rn.withColumn("page", ((F.col("__rn") - 1) / ZPAGE).cast("long")).drop("__rn")
     return paged.groupBy("page").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("xdim").alias("x_min"),

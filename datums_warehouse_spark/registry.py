@@ -76,7 +76,7 @@ GRADE_WINDOW = 50
 # composite TPC-H shapes, the llm text module, remaining sinks, the
 # streaming module. The two o5 sampling variants (weakest signal: both are
 # rows-only by design) slip to round 7 via _GRADE_FRONT_R07.
-_GRADE_FRONT = (
+_GRADE_FRONT_R06 = (
     # r05's only red row — canonicalization fixed, now full-oracle
     "l9_multimodal_features",
     # never-graded set-op extra
@@ -104,12 +104,14 @@ _GRADE_FRONT = (
     "w9_distribution_ranks", "t10_session_stream", "s9_retention_ttl",
 )
 
-# Round-7 rotation, prepared: the two keys that didn't fit the round-6
+# Round-7 rotation, ACTIVE: the two keys that didn't fit the round-6
 # window (GRADED.md) plus the four subquery-heavy TPC-H shapes added in
-# round 6 (comp19-22, registered after the r06 window was frozen). Once
-# CORRECTNESS_r06 lands, point _GRADE_FRONT here — then every registered
-# query has a driver row across r01-r07.
-_GRADE_FRONT_R07 = (
+# round 6 (comp19-22, registered after the r06 window was frozen). With
+# CORRECTNESS_r06 landed (45/45 oracle-green, 5 rows-only streams), this
+# round grades the final 17 never-graded keys — then every registered
+# query has a driver row across r01-r07. The remaining 33 window slots
+# fill in module-registration order (re-grading the earliest operators).
+_GRADE_FRONT = (
     "o5_table_sample",
     "o5_stratified_sample",
     "comp19_min_cost_supplier",

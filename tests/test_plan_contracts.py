@@ -126,6 +126,18 @@ def test_zorder_pages_bound_both_dimensions(spark, monkeypatch):
     assert med_y <= 0.7 * gy, (med_y, gy)
 
 
+@pytest.mark.parametrize("name", ["l16_sequence_packing", "o6_zorder_layout"])
+def test_global_cumsums_have_no_single_partition_funnel(spark, sf_dir, name):
+    """The two r06 'weak' rows used an unpartitioned window (whole input
+    through one task). The sharded formulation must show a partitioned
+    Window (__shard) and NO SinglePartition exchange anywhere — the 1-row
+    bounds and num_shards-row offsets legs ride broadcast exchanges."""
+    plan = plan_of(name, spark, sf_dir)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "__shard" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
 def test_tfidf_broadcasts_df_and_n(spark, sf_dir):
     """TF-IDF's document-frequency table and corpus-count legs must attach
     broadcast-side (BroadcastHashJoin + broadcast cross join for the 1-row

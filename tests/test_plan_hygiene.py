@@ -81,7 +81,7 @@ def test_global_sorts_only_in_sort_family(plans):
     """Range-partitioned exchanges (global sorts) belong to the O-family
     queries whose semantics ARE a total order; anywhere else a window or
     top-k shape was available."""
-    allowed = {"o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o6_zorder_layout",
+    allowed = {"o1_global_sort", "o2_multikey_sort", "o3_limit_offset",
                "x8_m4_downsample"}
     offenders = [
         n for n, p in plans.items() if "Exchange rangepartitioning" in p and n not in allowed
