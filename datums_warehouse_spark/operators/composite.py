@@ -1030,13 +1030,16 @@ def comp22_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
     availqty is absent from the testdata, so dominance is measured against
     the part's shipped total.
 
-    Scale shape: the inner aggregation shuffles lineitem once on
-    (partkey, suppkey); the per-part total reuses that partitioning via a
-    window (partkey is a prefix of the group key, so no second shuffle of
-    the fact); the qualifying supplier set is tiny → broadcast LEFT SEMI
-    into the region-filtered supplier dim. Both the group sum and the
-    window sum route through exact decimal, so the 0.3·total cut is
-    bit-identical across engines.
+    Scale shape: the filtered fact is explicitly repartitioned on
+    l_partkey ONCE; HashPartitioning(l_partkey) satisfies both the
+    (l_partkey, l_suppkey) aggregation's clustering (partitioning keys are
+    a subset of the group keys) and the per-part window's — so the agg and
+    the window both run shuffle-free on that single exchange (the r06
+    advice showed the previous group-key partitioning did NOT carry over
+    to the window, which cost a hidden second exchange). The qualifying
+    supplier set is tiny → broadcast LEFT SEMI into the region-filtered
+    supplier dim. Both the group sum and the window sum route through
+    exact decimal, so the 0.3·total cut is bit-identical across engines.
     """
     p = F.broadcast(
         load(spark, sf_dir, "part")
@@ -1048,6 +1051,7 @@ def comp22_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("l_partkey", "l_suppkey", "l_quantity")
     shipped = (
         li.join(p, li.l_partkey == p.p_partkey)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(dsum("l_quantity").alias("qty"))
     )

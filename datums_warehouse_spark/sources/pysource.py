@@ -25,13 +25,16 @@ repo on PYTHONPATH.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.registry import query
+
+# Path of the most recent s11 sink run in this process (per-run unique
+# directories make concurrent runs race-free; tests locate theirs here).
+LAST_SINK_DIR: str | None = None
 
 
 @query(
@@ -61,14 +64,21 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "documents.parquet")
     # Opt into connector-side predicate pushdown (off by default in Spark
-    # 4.1). With it on, the n_chars filter below reaches pushFilters() and
-    # the scan prunes row groups + rows itself; with it off (the driver's
-    # vanilla session), Spark keeps the Filter node — both plans are
-    # correct, which is exactly the contract pushdown must satisfy.
+    # 4.1) for THIS plan only: the conf is flipped, the optimized plan is
+    # baked below while it holds (pushFilters runs during optimization and
+    # queryExecution caches the result), and the caller's prior value is
+    # restored before returning — a later Python-datasource scan in the
+    # same session sees the session owner's own setting (ADVICE r06). On a
+    # runtime without the conf, Spark keeps the Filter node in the plan —
+    # both plans are correct, which is exactly the contract pushdown must
+    # satisfy.
+    _PD_KEY = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        _pd_prior = spark.conf.get(_PD_KEY, None)
+        spark.conf.set(_PD_KEY, "true")
+        _pd_restore = True
     except Exception:
-        pass  # unknown conf on an older runtime: plan-side filtering only
+        _pd_restore = False  # unknown conf: plan-side filtering only
 
     class _RowGroupSplit(InputPartition):
         def __init__(self, path: str, row_group: int, min_chars):
@@ -86,14 +96,21 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def pushFilters(self, filters):
             # Accept `n_chars >= v`; everything else stays in the Spark
             # plan. CONTRACT: an accepted filter is REMOVED from the plan,
-            # so read() must apply it exactly, not best-effort.
+            # so read() must apply it exactly, not best-effort — when
+            # Catalyst pushes SEVERAL lower bounds (e.g. >=200 AND >=300),
+            # every accepted one must hold, i.e. keep the strictest
+            # (ADVICE r06: last-write-wins would silently widen the scan).
             for f in filters:
                 if (
                     isinstance(f, GreaterThanOrEqual)
                     and f.attribute == ("n_chars",)
                     and isinstance(f.value, int)
                 ):
-                    self._min_chars = f.value
+                    self._min_chars = (
+                        f.value
+                        if self._min_chars is None
+                        else max(self._min_chars, f.value)
+                    )
                 else:
                     yield f
 
@@ -170,16 +187,28 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         def reader(self, schema):
             return _DocsReader(self.options)
 
-    spark.dataSource.register(_DocsSource)
-    docs = spark.read.format("docs_pyarrow").option("path", path).load()
-    return (
-        docs.filter(F.col("n_chars") >= 200)
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+    try:
+        spark.dataSource.register(_DocsSource)
+        docs = spark.read.format("docs_pyarrow").option("path", path).load()
+        result = (
+            docs.filter(F.col("n_chars") >= 200)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
         )
-    )
+        # Bake the optimized plan while the pushdown conf holds (no job
+        # runs — optimization only). Later actions reuse the cached
+        # queryExecution, so pushdown survives the conf restore below.
+        result._jdf.queryExecution().optimizedPlan()
+    finally:
+        if _pd_restore:
+            if _pd_prior is None:
+                spark.conf.unset(_PD_KEY)
+            else:
+                spark.conf.set(_PD_KEY, _pd_prior)
+    return result
 
 
 @query(
@@ -258,12 +287,28 @@ def t11_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
 
         def read(self, split):
+            # Read ONLY the row groups overlapping [lo, hi) — cumulative
+            # row-group row counts from footer metadata, then slice the
+            # overlap out of each group (ADVICE r06: a whole-file read per
+            # slice makes micro-batch I/O quadratic in the table size).
             import pyarrow.parquet as pq
 
             if split.hi <= split.lo:
                 return
-            table = pq.ParquetFile(split.path).read(columns=["event_type", "value"])
-            yield from table.slice(split.lo, split.hi - split.lo).to_batches()
+            pf = pq.ParquetFile(split.path)
+            meta = pf.metadata
+            start = 0
+            for rg in range(meta.num_row_groups):
+                n = meta.row_group(rg).num_rows
+                end = start + n
+                if end > split.lo and start < split.hi:
+                    lo = max(split.lo, start) - start
+                    hi = min(split.hi, end) - start
+                    table = pf.read_row_group(rg, columns=["event_type", "value"])
+                    yield from table.slice(lo, hi - lo).to_batches()
+                start = end
+                if start >= split.hi:
+                    break
 
         def commit(self, end):
             # Nothing to clean up for a replayable file; a queue-backed
@@ -344,10 +389,17 @@ def s11_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datums_warehouse_spark.sources.tables import events_us
 
+    # Per-run unique directory: two concurrent sessions grading the same
+    # scale factor must not race on one path (ADVICE r06 — the old fixed
+    # dir + rmtree deleted a sibling run's parts mid-write). The module
+    # global LAST_SINK_DIR lets tests find the run they just triggered.
     tag = sf_dir.rstrip("/").split("/")[-1]
-    out_dir = os.path.join(tempfile.gettempdir(), "dws_pysink", tag)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "dws_pysink", f"{tag}-{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(out_dir, exist_ok=False)
+    global LAST_SINK_DIR
+    LAST_SINK_DIR = out_dir
 
     class _PartCommit(WriterCommitMessage):
         def __init__(self, filename: str, n_rows: int):
@@ -420,6 +472,13 @@ def s11_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         for line in open(os.path.join(out_dir, "_MANIFEST"))
         if line.strip()
     ]
+    if not committed:
+        # Every part was empty (e.g. a fully-filtered input): the dataset
+        # is legitimately empty — return its empty shape rather than hand
+        # spark.read.parquet() zero paths (ADVICE r06: that raises).
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
     back = spark.read.parquet(*committed)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

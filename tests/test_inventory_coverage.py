@@ -113,10 +113,9 @@ def test_grading_rotation_is_closed():
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         graded |= set(json.load(open(f)))
     front = set(registry._GRADE_FRONT)
-    r07 = set(registry._GRADE_FRONT_R07)
-    missing_names = (front | r07) - set(all_queries())
-    assert not missing_names, f"rotation lists contain unregistered names: {missing_names}"
-    unreachable = set(all_queries()) - graded - front - r07
+    missing_names = front - set(all_queries())
+    assert not missing_names, f"rotation list contains unregistered names: {missing_names}"
+    unreachable = set(all_queries()) - graded - front
     assert not unreachable, f"queries outside every grading window: {unreachable}"
 
 

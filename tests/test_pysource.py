@@ -6,7 +6,6 @@ write) beyond the registry-wide parity/laziness/hygiene suites.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -48,11 +47,13 @@ def test_s11_manifest_gates_visibility(spark, sf_dir):
     the graded result reads manifest-listed parts only, so planting an
     orphan after the run must not change what a manifest-driven reader
     sees."""
+    from datums_warehouse_spark.sources import pysource
+
     q = all_queries()["s11_python_datasink"].fn
     before = {tuple(r) for r in q(spark, sf_dir).collect()}
 
-    tag = sf_dir.rstrip("/").split("/")[-1]
-    out_dir = os.path.join(tempfile.gettempdir(), "dws_pysink", tag)
+    out_dir = pysource.LAST_SINK_DIR
+    assert out_dir is not None and os.path.isdir(out_dir)
     manifest = os.path.join(out_dir, "_MANIFEST")
     assert os.path.exists(manifest)
     listed = {line.strip() for line in open(manifest) if line.strip()}
