@@ -32,6 +32,11 @@ HEADLINE = [
     "l3_cosine_topk",         # vector similarity
     "l6_tfidf",               # text pipeline
     "t3_session_window",      # sessionization
+    # round-6/7 surface (VERDICT r06 task 7): connector, subquery-heavy
+    # TPC-H shape, corpus self-join — so BENCH_r07+ tracks their cost
+    "s10_python_datasource",  # custom Python DataSource scan
+    "comp19_min_cost_supplier",  # TPC-H Q2 decorrelated shape
+    "l21_source_overlap",     # trigram-Jaccard source overlap
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datums_warehouse_spark.functions.determinism import dsum, sql_dsum
+from datums_warehouse_spark.functions.determinism import DEC12, dsum, sql_dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import load
 
@@ -717,3 +717,120 @@ def l23_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "d2")
     )
+
+
+# --- L24: iterated Lloyd k-means (E-step ∘ M-step loop) ----------------------
+
+LLOYD_K = 8      # clusters (deterministic init: the first K vectors)
+LLOYD_ITERS = 3  # E-steps run; M-steps between them (E,M,E,M,E)
+
+
+def _lloyd_oracle() -> str:
+    """Unrolled DuckDB twin of the Lloyd loop — generated from the same
+    iteration count so both engines run the identical fixed-point steps."""
+    vv = SQL_DDOT.format(a="embedding", b="embedding")
+    ddot_ve = SQL_DDOT.format(a="v.embedding", b="c.cemb")
+    cc = SQL_DDOT.format(a="cemb", b="cemb")
+    ctes = [
+        f"v AS (SELECT vec_id, embedding, {vv} AS vv FROM embeddings)",
+        f"""c0 AS (
+            SELECT cid, cemb, {cc} AS cc FROM (
+                SELECT vec_id AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+                FROM embeddings WHERE vec_id < {LLOYD_K}))""",
+    ]
+    for i in range(LLOYD_ITERS):
+        ctes.append(f"""a{i + 1} AS (
+            SELECT vec_id, cid, embedding, d2 FROM (
+                SELECT v.vec_id, c.cid, v.embedding,
+                       v.vv - 2 * {ddot_ve} + c.cc AS d2,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY v.vv - 2 * {ddot_ve} + c.cc, c.cid
+                       ) AS rn
+                FROM v CROSS JOIN c{i} c
+            ) WHERE rn = 1)""")
+        if i < LLOYD_ITERS - 1:
+            ctes.append(f"""c{i + 1} AS (
+                SELECT cid, cemb, {cc} AS cc FROM (
+                    SELECT cid, list(centroid ORDER BY pos) AS cemb FROM (
+                        SELECT cid, pos,
+                               round({sql_dsum("comp", "DECIMAL(30,12)")}
+                                     / count(*), 6) AS centroid
+                        FROM (
+                            SELECT cid,
+                                   generate_subscripts(embedding, 1) - 1 AS pos,
+                                   CAST(unnest(embedding) AS DOUBLE) AS comp
+                            FROM a{i + 1})
+                        GROUP BY cid, pos)
+                    GROUP BY cid))""")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, cid, round(d2, 6) AS d2 FROM a{LLOYD_ITERS}"
+    )
+
+
+@query("l24_kmeans_lloyd", oracle=_lloyd_oracle(), tags=("L23", "L10"))
+def l24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated Lloyd k-means: LLOYD_ITERS (=3) E-steps with M-steps
+    between them, composed entirely from the two already-graded primitives —
+    l23's broadcast-argmin assignment and l10's posexplode decimal-exact
+    centroid mean — proving the iterative-ML pattern end to end (the way
+    l2_dedup_clusters proves label propagation). Output: every vector's
+    final cluster and squared distance after the fixed iteration budget.
+
+    Cross-engine determinism: each M-step rounds centroid components to
+    6dp off an exact decimal mean, so both engines enter the next E-step
+    with bit-identical doubles; d2 then reuses the proven l3/l23 IEEE
+    fold, with cid breaking distance ties.
+
+    Scale shape per iteration: E-step broadcasts K centroid rows over the
+    vector scan (no big-side shuffle, WindowGroupLimit argmin keyed by
+    vec_id); M-step is one (cid, pos) hash aggregate + a K-row array
+    reassembly. The whole unrolled loop is a single lazy DAG — no
+    driver-side collect between iterations.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding", ddot("embedding", "embedding").alias("vv"))
+    cent = (
+        emb.filter(F.col("vec_id") < LLOYD_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+        )
+        .withColumn("cc", ddot("cemb", "cemb"))
+    )
+    assign = None
+    for it in range(LLOYD_ITERS):
+        d2 = F.col("vv") - 2 * ddot("embedding", "cemb") + F.col("cc")
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            v.join(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "embedding", "d2")
+        )
+        if it < LLOYD_ITERS - 1:
+            exploded = assign.select(
+                "cid", F.posexplode("embedding").alias("pos", "comp_f")
+            ).select(
+                "cid",
+                F.col("pos").cast("long").alias("pos"),
+                F.col("comp_f").cast("double").alias("comp"),
+            )
+            comps = exploded.groupBy("cid", "pos").agg(
+                F.round(dsum("comp", DEC12) / F.count("comp"), 6).alias("centroid")
+            )
+            cent = (
+                comps.groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "centroid"))
+                    ).alias("pc")
+                )
+                .select("cid", F.transform("pc", lambda s: s["centroid"]).alias("cemb"))
+                .withColumn("cc", ddot("cemb", "cemb"))
+            )
+    return assign.select("vec_id", "cid", F.round("d2", 6).alias("d2"))

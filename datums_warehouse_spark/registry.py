@@ -129,6 +129,26 @@ _GRADE_FRONT = (
     "sql2_top_orders_per_segment",
     "l23_kmeans_assign",
     "f9_safe_funcs",
+    # new in round 7: the iterated Lloyd loop composed from l23 + l10
+    "l24_kmeans_lloyd",
+    # re-grade: the two queries whose plans changed this round (de-weaked
+    # from unpartitioned windows to range-sharded cumsums) need fresh
+    # driver rows against the unchanged oracles
+    "l16_sequence_packing",
+    "o6_zorder_layout",
+    # refresh slots: the ledger's oldest evidence (r01-era rows) — fills
+    # the window to exactly GRADE_WINDOW with deterministic membership
+    "p1_project_compute", "p2_filter_comparison", "p3_filter_time_range",
+    "p4_filter_in_list", "p5_filter_like_regex", "p6_filter_nulls",
+    "p7_compound_predicates",
+    "j1_broadcast_dim_join", "j2_shuffle_fact_join", "j3_star_join",
+    "j4_left_outer_custdist", "j4_full_outer_daily", "j5_semi_join",
+    "j6_anti_join", "j7_cross_join", "j8_range_join",
+    "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
+    "a5_rollup", "a5_cube", "a6_having", "a7_distinct",
+    "w1_ranking", "w2_lag_lead", "w3_running_total", "w4_moving_avg",
+    "w5_range_frame",
+    "o1_global_sort", "o2_multikey_sort",
 )
 
 
