@@ -6,7 +6,10 @@ Join-strategy discipline for 100 TB:
   ``F.broadcast`` so the plan is a BroadcastHashJoin regardless of stats.
 - Fact⋈fact joins shuffle on their equi-keys (SortMergeJoin / ShuffledHash
   under AQE); keys here (orderkey) are uniform so no salting needed —
-  AQE skew-join handles residual skew.
+  AQE skew-join handles residual skew. When the skew is known up front and
+  AQE's runtime split isn't available, J11 demonstrates the explicit
+  hot-key salting pattern (detect → split → salt/replicate → union) with
+  output provably identical to the plain join.
 - The range join (J8) broadcasts the *small derived dimension* (one row per
   day) so the non-equi condition is a broadcast nested-loop over a 30-row
   build side, not an O(n²) shuffle.
@@ -318,4 +321,85 @@ def j10_self_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, cond)
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- J11: explicit hot-key salting for skewed fact joins ---------------------
+
+SKEW_SALT = 8           # fan-out for hot keys (≈ straggler-partition split)
+SKEW_HOT_THRESHOLD = 8  # lineitem rows per orderkey to count as "hot"
+
+
+@query(
+    "j11_salted_skew_join",
+    oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_lines,
+               {sql_dsum(SQL_REVENUE)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    tags=("J11", "scale"),
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit hot-key salting — the join-side twin of
+    ``a1_salted_two_stage``, for when a fact⋈fact join key's distribution
+    is known-skewed and AQE's runtime skew split isn't available (e.g. a
+    broadcast-ineligible build side feeding a streaming join, or a Spark
+    fleet with AQE pinned off).
+
+    Mechanics (output provably identical to the plain join — the oracle IS
+    the plain join):
+
+    1. detect hot keys with a cheap count aggregate (≥ SKEW_HOT_THRESHOLD
+       rows); the hot set is tiny and broadcasts;
+    2. split both sides on hot-set membership via broadcast left joins;
+    3. cold path: normal equi-join (uniform keys, healthy partitions);
+    4. hot path: probe side gets a deterministic per-row salt
+       (pmod(l_linenumber, SKEW_SALT)); build side replicates each hot row
+       SKEW_SALT ways via explode(sequence); join on (key, salt) — each
+       formerly-straggling partition splits into SKEW_SALT tasks;
+    5. union, aggregate.
+
+    At 100 TB the replication cost is |hot keys| × SKEW_SALT build rows —
+    negligible by construction (hot set is small by definition), while the
+    worst task shrinks ~SKEW_SALT×. The final aggregate is decimal-exact,
+    so the salted union hashes identically to the oracle's plain join.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    hot = F.broadcast(
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= SKEW_HOT_THRESHOLD)
+        .select(F.col("l_orderkey").alias("hk"))
+    )
+
+    li_tag = li.join(hot, li.l_orderkey == hot.hk, "left")
+    li_cold = li_tag.filter(F.col("hk").isNull()).drop("hk")
+    li_hot = (
+        li_tag.filter(F.col("hk").isNotNull())
+        .drop("hk")
+        .withColumn("salt", F.pmod("l_linenumber", F.lit(SKEW_SALT)))
+    )
+    o_tag = o.join(hot, o.o_orderkey == hot.hk, "left")
+    o_cold = o_tag.filter(F.col("hk").isNull()).drop("hk")
+    o_hot = o_tag.filter(F.col("hk").isNotNull()).drop("hk").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1)))
+    )
+
+    cold = li_cold.join(o_cold, F.col("l_orderkey") == F.col("o_orderkey"))
+    hot_joined = li_hot.join(
+        o_hot,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (li_hot.salt == o_hot.salt),
+    ).drop("salt")
+    both = cold.select(
+        "o_orderstatus", "l_extendedprice", "l_discount"
+    ).unionByName(hot_joined.select("o_orderstatus", "l_extendedprice", "l_discount"))
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"), dsum(REVENUE()).alias("revenue")
     )

@@ -129,8 +129,10 @@ _GRADE_FRONT = (
     "sql2_top_orders_per_segment",
     "l23_kmeans_assign",
     "f9_safe_funcs",
-    # new in round 7: the iterated Lloyd loop composed from l23 + l10
+    # new in round 7: the iterated Lloyd loop composed from l23 + l10,
+    # and the explicit hot-key-salted skew join (join twin of a1_salted)
     "l24_kmeans_lloyd",
+    "j11_salted_skew_join",
     # re-grade: the two queries whose plans changed this round (de-weaked
     # from unpartitioned windows to range-sharded cumsums) need fresh
     # driver rows against the unchanged oracles
@@ -148,7 +150,7 @@ _GRADE_FRONT = (
     "a5_rollup", "a5_cube", "a6_having", "a7_distinct",
     "w1_ranking", "w2_lag_lead", "w3_running_total", "w4_moving_avg",
     "w5_range_frame",
-    "o1_global_sort", "o2_multikey_sort",
+    "o1_global_sort",
 )
 
 

@@ -9,18 +9,22 @@ import pytest
 
 from datums_warehouse_spark import all_queries
 
+# SURVEY.md §2's original rows PLUS every extension row shipped since
+# (S6-S11 sinks/connectors, J11 salted skew join, W8-W9, O5-O6, U5, F9,
+# T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
+# the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 6)]          # scans / sources / sinks
+    [f"s{i}" for i in range(1, 12)]         # scans / sources / sinks / connectors
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
-    + [f"j{i}" for i in range(1, 11)]       # joins (J9 as-of included)
+    + [f"j{i}" for i in range(1, 12)]       # joins (J9 as-of, J11 salted skew)
     + [f"a{i}" for i in range(1, 12)]       # aggregations
-    + [f"w{i}" for i in range(1, 8)]        # windows
-    + [f"o{i}" for i in range(1, 5)]        # sort / limit / top-k
-    + [f"u{i}" for i in range(1, 5)]        # set ops
-    + [f"f{i}" for i in range(1, 9)]        # scalar function families
-    + [f"t{i}" for i in range(1, 8)]        # streaming
-    + [f"x{i}" for i in range(1, 6)]        # time-series specials
-    + [f"l{i}" for i in range(1, 15)]       # LLM pipeline (incl. additions)
+    + [f"w{i}" for i in range(1, 10)]       # windows
+    + [f"o{i}" for i in range(1, 7)]        # sort / limit / top-k / sample / zorder
+    + [f"u{i}" for i in range(1, 6)]        # set ops (incl. EXCEPT ALL)
+    + [f"f{i}" for i in range(1, 10)]       # scalar function families
+    + [f"t{i}" for i in range(1, 12)]       # streaming
+    + [f"x{i}" for i in range(1, 10)]       # time-series specials
+    + [f"l{i}" for i in range(1, 25)]       # LLM pipeline (incl. additions)
     + [f"d{i}" for i in range(1, 6)]        # UDF surface
 )
 
