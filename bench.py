@@ -19,6 +19,9 @@ from datums_warehouse_spark import all_queries
 from datums_warehouse_spark.session import get_spark
 
 # Headline set: the flagship + one representative per operator family.
+# The first 12 are the r01-r06 comparison set; "legacy_12_total" in the
+# output is their subtotal so round-over-round deltas stay like-for-like
+# after the three round-7 additions widened the set to 15.
 HEADLINE = [
     "a8_candles_1h",          # flagship OHLCV aggregation
     "x1_resample_1h_to_1d",   # candle resample
@@ -90,6 +93,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "legacy_12_total": round(
+                    sum(t for n, t in timings.items() if n in HEADLINE[:12]), 3
+                ),
                 "sf": sf,
                 "repeats": repeats,
                 "repeats_noisy": {n: noisy_repeats for n in noisy if n in runs},

@@ -560,13 +560,15 @@ def l21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same text?" — drives source-level dedup decisions before any
     per-document pass.
 
-    Scale shape: the per-source DISTINCT collapses each source's trigrams
-    first (shuffle on (source, gram), map-side combinable), so the overlap
-    self-join runs on *sets*, never raw token streams — each gram appears
-    at most once per source, bounding join fan-out per gram at the number
-    of sources, not the corpus size. Per-source set sizes are a tiny
-    aggregate that broadcasts into the final projection. Never all-pairs
-    on documents; linear in corpus volume plus |sources|² output rows.
+    Scale shape (round-7 rewrite): ONE keyed shuffle — per-doc
+    ``array_distinct`` prunes the explode, then a single
+    ``groupBy(gram).collect_set(source)`` builds the inverted gram→sources
+    index (set size bounded by |sources|, so no skew blowup). Pair counts
+    and per-source set sizes both derive from that small index by
+    exploding the source sets — fan-out ≤ |sources|² per gram — replacing
+    the previous formulation's three evaluations of the trigram-distinct
+    subtree and its gram⋈gram self-join. Never all-pairs on documents;
+    linear in corpus volume plus |sources|² output rows.
     """
     d = load(spark, sf_dir, "documents").filter(F.size(TOKS()) >= 3)
     toks = F.col("toks")
@@ -580,16 +582,22 @@ def l21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
-    tg = (
+    grams = (
         d.select("source", TOKS().alias("toks"))
-        .select("source", F.explode(trigram).alias("g"))
-        .distinct()
+        .select("source", F.explode(F.array_distinct(trigram)).alias("g"))
+        .groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
     )
-    sz = F.broadcast(tg.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
-    a = tg.select(F.col("source").alias("source_a"), F.col("g").alias("g_a"))
-    b = tg.select(F.col("source").alias("source_b"), F.col("g").alias("g_b"))
+    sz = F.broadcast(
+        grams.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     common = (
-        a.join(b, (F.col("g_a") == F.col("g_b")) & (F.col("source_a") < F.col("source_b")))
+        grams.filter(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("source_a"), "ss")
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
