@@ -31,6 +31,7 @@ from datums_warehouse_spark.functions.hashing import (
     minhash_expr,
     sql_hash48,
 )
+from datums_warehouse_spark.llm.splits import SQL_SPLITS, split_col
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import load
 
@@ -719,4 +720,62 @@ def l18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(esz.select(F.col("doc_id").alias("eval_doc"), "n"), "eval_doc")
         .filter(overlap >= DECON_MIN_OVERLAP)
         .select("eval_doc", "train_doc", overlap.alias("overlap"))
+    )
+
+
+# --- L26: cross-split near-dup leakage audit ---------------------------------
+
+
+@query(
+    "l26_cross_split_leakage",
+    oracle=f"""
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
+        {SQL_LSH_CAND},
+        {SQL_JACCARD_CTES},
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {JACCARD_THRESHOLD}
+        ),
+        {SQL_SPLITS}
+        SELECT least(sa.split, sb.split) AS split_lo,
+               greatest(sa.split, sb.split) AS split_hi,
+               count(*) AS n_leaked_pairs
+        FROM pairs
+        JOIN splits sa ON sa.doc_id = doc_a
+        JOIN splits sb ON sb.doc_id = doc_b
+        WHERE sa.split != sb.split
+        GROUP BY 1, 2
+    """,
+    tags=("L26",),
+)
+def l26_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: near-duplicate pairs (the L2 MinHash/LSH
+    pipeline's verified pairs) whose two documents landed on DIFFERENT
+    sides of the deterministic train/val/test wall (l25) — the benchmark-
+    contamination number a training pipeline must drive to ~zero before
+    trusting its eval metrics. Composes two already-graded components the
+    way l24 composes l23+l10.
+
+    Scale shape: the pair set (∝ true near-dup count) joins the tiny
+    (doc_id → split) map twice — both probes are hash joins on doc ids;
+    the split map derives in-line from the scan, no extra state. Output is
+    |split pairs| ≤ 3 rows, grouped on the lexicographically ordered pair
+    so the row identity is engine-independent.
+    """
+    docs = load(spark, sf_dir, "documents")
+    splits = docs.select("doc_id", split_col().alias("split"))
+    pairs = l2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_leaked_pairs"))
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from datums_warehouse_spark.functions.determinism import davg, sql_davg
 from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
 from datums_warehouse_spark.llm.dedup import SQL_SHINGLES, shingles
+from datums_warehouse_spark.llm.splits import SQL_SPLITS, split_col
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import load
 
@@ -614,5 +615,41 @@ def l21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
             ).alias("jaccard"),
+        )
+    )
+
+
+# --- L25: deterministic train/val/test split ---------------------------------
+
+
+@query(
+    "l25_dataset_split",
+    oracle=f"""
+        WITH {SQL_SPLITS}
+        SELECT d.source, s.split, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        FROM documents d JOIN splits s ON s.doc_id = d.doc_id
+        GROUP BY d.source, s.split
+    """,
+    tags=("L25",),
+)
+def l25_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split, reported per source: the
+    assignment is hash48(doc_id) mod 1000 (llm/splits.py), a pure function
+    of document identity — re-runs, backfills, and incremental appends
+    never move a document across the train/test wall, unlike
+    sample()/randomSplit whose RNG reshuffles membership per run.
+
+    Scale shape: pure map over the scan + one hash aggregate; zero joins.
+    Pairs with l26_cross_split_leakage, which audits whether near-dup
+    content straddles the wall the split just drew.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", "n_chars", split_col().alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
     )

@@ -130,9 +130,12 @@ _GRADE_FRONT = (
     "l23_kmeans_assign",
     "f9_safe_funcs",
     # new in round 7: the iterated Lloyd loop composed from l23 + l10,
-    # and the explicit hot-key-salted skew join (join twin of a1_salted)
+    # the explicit hot-key-salted skew join (join twin of a1_salted), the
+    # deterministic train/val/test split, and the cross-split leakage audit
     "l24_kmeans_lloyd",
     "j11_salted_skew_join",
+    "l25_dataset_split",
+    "l26_cross_split_leakage",
     # re-grade: the two queries whose plans changed this round (de-weaked
     # from unpartitioned windows to range-sharded cumsums) need fresh
     # driver rows against the unchanged oracles
@@ -149,8 +152,6 @@ _GRADE_FRONT = (
     "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
     "a5_rollup", "a5_cube", "a6_having", "a7_distinct",
     "w1_ranking", "w2_lag_lead", "w3_running_total", "w4_moving_avg",
-    "w5_range_frame",
-    "o1_global_sort",
 )
 
 

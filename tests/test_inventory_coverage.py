@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 12)]       # streaming
     + [f"x{i}" for i in range(1, 10)]       # time-series specials
-    + [f"l{i}" for i in range(1, 25)]       # LLM pipeline (incl. additions)
+    + [f"l{i}" for i in range(1, 27)]       # LLM pipeline (incl. additions)
     + [f"d{i}" for i in range(1, 6)]        # UDF surface
 )
 
