@@ -73,10 +73,14 @@ QUERIES = [
     "comp19_min_cost_supplier",
     "s10_python_datasource",
     # round-7 additions: the two de-weaked sharded-cumsum queries (were
-    # single-partition windows in r06) and the iterated Lloyd loop
+    # single-partition windows in r06), the iterated Lloyd loop, the
+    # hot-key-salted skew join, and the split + leakage-audit pair
     "l16_sequence_packing",
     "o6_zorder_layout",
     "l24_kmeans_lloyd",
+    "j11_salted_skew_join",
+    "l25_dataset_split",
+    "l26_cross_split_leakage",
 ]
 # Per-query oracle ceiling: above this multiplier the DuckDB side of the
 # recursive/quadratic constructions explodes, but AT/below it the oracle
@@ -87,6 +91,7 @@ ORACLE_MAX_MULT = {
     "l2_minhash_lsh_pairs": 8,
     "l2_dedup_clusters": 8,
     "l18_decontamination": 8,
+    "l26_cross_split_leakage": 8,  # rides the full LSH pair pipeline
 }
 
 
