@@ -350,22 +350,23 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fleet with AQE pinned off).
 
     Mechanics (output provably identical to the plain join — the oracle IS
-    the plain join):
+    the plain join). The salt UNIFIES hot and cold keys in one join, no
+    plan split:
 
     1. detect hot keys with a cheap count aggregate (≥ SKEW_HOT_THRESHOLD
-       rows); the hot set is tiny and broadcasts;
-    2. split both sides on hot-set membership via broadcast left joins;
-    3. cold path: normal equi-join (uniform keys, healthy partitions);
-    4. hot path: probe side gets a deterministic per-row salt
-       (pmod(l_linenumber, SKEW_SALT)); build side replicates each hot row
-       SKEW_SALT ways via explode(sequence); join on (key, salt) — each
-       formerly-straggling partition splits into SKEW_SALT tasks;
-    5. union, aggregate.
+       rows); the hot set is tiny and broadcasts onto both sides;
+    2. probe side: salt = 0 for cold keys, pmod(l_linenumber, SKEW_SALT)
+       for hot keys — deterministic per row;
+    3. build side: each row replicates via explode(sequence(0, reps))
+       where reps = 0 for cold keys (one copy, salt 0) and SKEW_SALT-1
+       for hot keys (SKEW_SALT copies, salts 0..SKEW_SALT-1);
+    4. ONE equi-join on (key, salt): every formerly-straggling hot
+       partition splits into SKEW_SALT tasks, cold keys pay nothing.
 
     At 100 TB the replication cost is |hot keys| × SKEW_SALT build rows —
     negligible by construction (hot set is small by definition), while the
     worst task shrinks ~SKEW_SALT×. The final aggregate is decimal-exact,
-    so the salted union hashes identically to the oracle's plain join.
+    so the salted join hashes identically to the oracle's plain join.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
@@ -378,28 +379,32 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("hk"))
     )
 
-    li_tag = li.join(hot, li.l_orderkey == hot.hk, "left")
-    li_cold = li_tag.filter(F.col("hk").isNull()).drop("hk")
-    li_hot = (
-        li_tag.filter(F.col("hk").isNotNull())
+    is_hot = F.col("hk").isNotNull()
+    li_salted = (
+        li.join(hot, li.l_orderkey == hot.hk, "left")
+        .withColumn(
+            "salt",
+            F.when(is_hot, F.pmod("l_linenumber", F.lit(SKEW_SALT))).otherwise(0),
+        )
         .drop("hk")
-        .withColumn("salt", F.pmod("l_linenumber", F.lit(SKEW_SALT)))
     )
-    o_tag = o.join(hot, o.o_orderkey == hot.hk, "left")
-    o_cold = o_tag.filter(F.col("hk").isNull()).drop("hk")
-    o_hot = o_tag.filter(F.col("hk").isNotNull()).drop("hk").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1)))
+    o_salted = (
+        o.join(hot, o.o_orderkey == hot.hk, "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.when(is_hot, F.lit(SKEW_SALT - 1)).otherwise(0)
+                )
+            ),
+        )
+        .drop("hk")
     )
-
-    cold = li_cold.join(o_cold, F.col("l_orderkey") == F.col("o_orderkey"))
-    hot_joined = li_hot.join(
-        o_hot,
+    joined = li_salted.join(
+        o_salted,
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (li_hot.salt == o_hot.salt),
-    ).drop("salt")
-    both = cold.select(
-        "o_orderstatus", "l_extendedprice", "l_discount"
-    ).unionByName(hot_joined.select("o_orderstatus", "l_extendedprice", "l_discount"))
-    return both.groupBy("o_orderstatus").agg(
+        & (li_salted.salt == o_salted.salt),
+    )
+    return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"), dsum(REVENUE()).alias("revenue")
     )
