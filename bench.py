@@ -40,6 +40,9 @@ HEADLINE = [
     "s10_python_datasource",  # custom Python DataSource scan
     "comp19_min_cost_supplier",  # TPC-H Q2 decorrelated shape
     "l21_source_overlap",     # trigram-Jaccard source overlap
+    # mid-round-7 additions
+    "j12_bloom_prefilter_join",  # explicit bloom runtime-filter join
+    "l27_token_budget_pick",     # budgeted pick via range-sharded cumsum
 ]
 
 

@@ -653,3 +653,131 @@ def l25_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --- L27: quality-ordered selection under a global token budget --------------
+
+BUDGET_FRACTION = 4  # keep the best ~1/4 of corpus tokens
+
+
+@query(
+    "l27_token_budget_pick",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+                       * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' '))) AS quality
+            FROM documents
+        ),
+        b AS (
+            SELECT CAST(floor(sum(n_tokens) / 4.0) AS BIGINT) AS budget FROM q
+        ),
+        c AS (
+            SELECT source, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+            FROM q
+        )
+        SELECT source,
+               count(*) AS n_picked,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_picked
+        FROM c CROSS JOIN b
+        WHERE cum <= budget
+        GROUP BY source
+    """,
+    tags=("L27", "scale"),
+)
+def l27_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum selection under a global token budget: greedily keep the
+    highest-quality documents (l12's length-saturation × lexical-diversity
+    score, ties by doc_id) until 1/4 of the corpus's whitespace tokens are
+    spent — the "train on the best N tokens" step between filtering and
+    packing in a pre-training pipeline.
+
+    The selection rule is a cumulative token sum over the quality-ordered
+    corpus — the classic global-window scale-killer — expressed here with
+    the same range-sharded two-stage cumsum that de-weaked
+    l16_sequence_packing (operators/sharded.py): shard on the (numeric)
+    descending-quality key, per-shard partitioned windows, tiny broadcast
+    per-shard offsets. The budget itself is a 1-row aggregate attached
+    broadcast-side (no driver collect). All integer arithmetic after the
+    ordering, so the pick set — and therefore the per-source totals — hash
+    identically to the oracle's single-window formulation.
+    """
+    from datums_warehouse_spark.operators.sharded import range_sharded_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(TOKS())
+    n_uniq = F.size(F.array_distinct(TOKS()))
+    quality = F.least(n_tok.cast("double") / 50, F.lit(1.0)) * (
+        n_uniq.cast("double") / n_tok
+    )
+    q = d.select(
+        "doc_id",
+        "source",
+        n_tok.cast("long").alias("n_tokens"),
+        (-quality).alias("negq"),
+    )
+    budget = q.agg(
+        F.floor(F.sum("n_tokens") / 4.0).cast("long").alias("budget")
+    )
+    cum = range_sharded_cumsum(
+        q, key="negq", order_cols=["negq", "doc_id"], value=F.col("n_tokens"),
+        out_col="cum",
+    )
+    return (
+        cum.join(F.broadcast(budget), how="cross")
+        .filter(F.col("cum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_picked"),
+            F.sum("n_tokens").alias("tokens_picked"),
+        )
+    )
+
+
+# --- L28: dataset card — the published corpus composition report -------------
+
+
+@query(
+    "l28_dataset_card",
+    oracle=f"""
+        WITH {SQL_SPLITS}
+        SELECT s.split, d.source, d.lang,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        FROM documents d JOIN splits s ON s.doc_id = d.doc_id
+        GROUP BY 1, 2, 3
+    """,
+    tags=("L28",),
+)
+def l28_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the split × source × language composition table a
+    training corpus ships with — document, token, and character volumes
+    per cell, with split membership from the deterministic hash wall
+    (llm/splits.py) so the card is reproducible from raw inputs alone.
+
+    Scale shape: one pure column-wise projection (split gate + token
+    count) followed by a single hash aggregate on low-cardinality keys —
+    map-side partials collapse the 100 TB scan to |splits|×|sources|×
+    |langs| rows; no joins, no windows, no data movement beyond the
+    final tiny shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            split_col().alias("split"),
+            "source",
+            "lang",
+            F.size(TOKS()).cast("long").alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

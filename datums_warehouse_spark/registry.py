@@ -141,6 +141,13 @@ _GRADE_FRONT = (
     # driver rows against the unchanged oracles
     "l16_sequence_packing",
     "o6_zorder_layout",
+    # new mid-round-7: bloom runtime-filter join, small-file compaction,
+    # token-budget curriculum pick, dataset card — never graded, so they
+    # take the window slots the w1-w4 refresh re-grades (r01-green) held
+    "j12_bloom_prefilter_join",
+    "s12_compaction",
+    "l27_token_budget_pick",
+    "l28_dataset_card",
     # refresh slots: the ledger's oldest evidence (r01-era rows) — fills
     # the window to exactly GRADE_WINDOW with deterministic membership
     "p1_project_compute", "p2_filter_comparison", "p3_filter_time_range",
@@ -151,7 +158,6 @@ _GRADE_FRONT = (
     "j6_anti_join", "j7_cross_join", "j8_range_join",
     "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
     "a5_rollup", "a5_cube", "a6_having", "a7_distinct",
-    "w1_ranking", "w2_lag_lead", "w3_running_total", "w4_moving_avg",
 )
 
 

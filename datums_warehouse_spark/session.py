@@ -67,3 +67,23 @@ class scoped_shuffle_partitions:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+class scoped_conf:
+    """Temporarily set arbitrary session confs, restoring priors on exit —
+    the generalized sibling of scoped_shuffle_partitions for operators that
+    need a write-time knob (e.g. s12's stats-bearing timestamp encoding)
+    without leaking it into the caller's session."""
+
+    def __init__(self, spark: SparkSession, **confs: str):
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self):
+        self.prev = {k: self.spark.conf.get(k) for k in self.confs}
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.prev.items():
+            self.spark.conf.set(k, v)

@@ -357,3 +357,50 @@ def s9_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy(day_ts.alias("day"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
+
+
+FRAGMENT_FILES = 64   # simulated micro-batch debris: one small file each
+COMPACT_FILES = 8     # target layout after compaction
+
+
+@query("s12_compaction", oracle=_SQL_EVENT_AGG, tags=("S12", "scale", "eager"))
+def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operation every
+    streaming-ingested warehouse needs: micro-batch commits leave
+    thousands of KB-scale files whose per-file open/footer/seek overhead
+    eventually dominates scan cost.
+
+    Round-trip under grade: (1) fragment events into FRAGMENT_FILES small
+    files via hash repartition (the debris layout a per-trigger
+    `writeStream` leaves); (2) compact by `repartitionByRange(ts)` +
+    `sortWithinPartitions(ts)` into COMPACT_FILES time-clustered files —
+    range partitioning gives files DISJOINT ts spans, so parquet min/max
+    footers prune time-predicate scans to the overlapping files only;
+    (3) the graded aggregate runs over the COMPACTED store, so a
+    hash-match proves both rewrites were content-exact.
+
+    At 100 TB compaction runs per partition-directory (day/series), not
+    whole-table: each directory's debris is a few GB, so the range
+    shuffle is partition-local and incremental — same plan, bounded
+    input. tests/test_compaction.py asserts the physical claims the
+    oracle can't see: file count shrinks FRAGMENT→COMPACT and per-file
+    ts ranges are pairwise disjoint (footer-prunable).
+    """
+    from datums_warehouse_spark.session import scoped_conf
+
+    frag = _sink_dir("s12_fragmented", sf_dir)
+    events_us(spark, sf_dir).repartition(FRAGMENT_FILES, "event_id").write.parquet(frag)
+    compacted = _sink_dir("s12_compacted", sf_dir)
+    # INT96 (Spark's default parquet timestamp encoding) carries NO footer
+    # statistics, which would silently void the min/max-pruning payoff the
+    # compaction exists for — write micros, which are stats-bearing.
+    with scoped_conf(spark, **{
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS"
+    }):
+        (
+            spark.read.parquet(frag)
+            .repartitionByRange(COMPACT_FILES, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.parquet(compacted)
+        )
+    return _event_agg(spark.read.parquet(compacted))

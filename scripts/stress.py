@@ -81,6 +81,10 @@ QUERIES = [
     "j11_salted_skew_join",
     "l25_dataset_split",
     "l26_cross_split_leakage",
+    # mid-round-7 additions: the explicit bloom runtime-filter join and
+    # the budgeted curriculum pick over the sharded cumsum
+    "j12_bloom_prefilter_join",
+    "l27_token_budget_pick",
 ]
 # Per-query oracle ceiling: above this multiplier the DuckDB side of the
 # recursive/quadratic constructions explodes, but AT/below it the oracle

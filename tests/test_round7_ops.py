@@ -1,0 +1,202 @@
+"""Physical-layout and algebraic contracts for the round-7 additions the
+oracle hash can't see: s12's file-level compaction claims, j12's bloom
+prefilter set algebra, and l27's budget feasibility."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from datums_warehouse_spark.sources import sinks
+from datums_warehouse_spark.sources.tables import load
+
+
+def _parquet_parts(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and f.startswith("part-")
+    ]
+
+
+class TestCompaction:
+    @pytest.fixture(scope="class")
+    def dirs(self, spark, sf_dir):
+        sinks.s12_compaction(spark, sf_dir).collect()
+        tag = sf_dir.rstrip("/").split("/")[-1]
+        root = os.path.join(sinks._SINK_ROOT, tag)
+        return (
+            os.path.join(root, "s12_fragmented"),
+            os.path.join(root, "s12_compacted"),
+        )
+
+    def test_file_count_shrinks(self, dirs):
+        frag, comp = dirs
+        n_frag, n_comp = len(_parquet_parts(frag)), len(_parquet_parts(comp))
+        assert n_frag == sinks.FRAGMENT_FILES
+        assert 0 < n_comp <= sinks.COMPACT_FILES
+        assert n_comp < n_frag
+
+    def test_ts_ranges_pairwise_disjoint(self, dirs):
+        """repartitionByRange gives each compacted file a disjoint ts span —
+        the property that makes parquet footer min/max pruning effective."""
+        _, comp = dirs
+        spans = []
+        for f in _parquet_parts(comp):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("ts")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            spans.append((min(los), max(his)))
+        spans.sort()
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next
+
+    def test_no_rows_lost(self, spark, dirs):
+        frag, comp = dirs
+        n_frag = spark.read.parquet(frag).count()
+        n_comp = spark.read.parquet(comp).count()
+        assert n_frag == n_comp
+
+
+class TestBloomPrefilter:
+    def test_prefilter_is_superset_and_confirm_exact(self, spark, sf_dir):
+        """The bloom stage may pass false positives but never drops a true
+        match; the confirm semi-join restores the exact key set."""
+        from datums_warehouse_spark.operators import joins
+
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+        urgent = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        truth = {
+            r[0]
+            for r in li.join(
+                urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+            ).distinct().collect()
+        }
+
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        words = (
+            urgent.select(
+                F.explode(
+                    F.array(
+                        joins._bloom_pos(F.col("o_orderkey"), 0),
+                        joins._bloom_pos(F.col("o_orderkey"), 1),
+                    )
+                ).alias("pos")
+            )
+            .select(F.floor(F.col("pos") / 64).alias("idx"), bit.alias("bit"))
+            .groupBy("idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+        probe = li.withColumn("p0", joins._bloom_pos(F.col("l_orderkey"), 0)).withColumn(
+            "p1", joins._bloom_pos(F.col("l_orderkey"), 1)
+        )
+        w0 = words.select(F.col("idx").alias("i0"), F.col("word").alias("word0"))
+        w1 = words.select(F.col("idx").alias("i1"), F.col("word").alias("word1"))
+        bloom_pass = {
+            r[0]
+            for r in probe.join(F.broadcast(w0), F.floor(F.col("p0") / 64) == F.col("i0"))
+            .join(F.broadcast(w1), F.floor(F.col("p1") / 64) == F.col("i1"))
+            .filter(
+                F.expr("(word0 & shiftleft(CAST(1 AS BIGINT), CAST(p0 % 64 AS INT))) != 0")
+                & F.expr("(word1 & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))) != 0")
+            )
+            .select("l_orderkey")
+            .distinct()
+            .collect()
+        }
+        assert truth <= bloom_pass  # no false negatives, ever
+
+    def test_bloom_word_table_is_bounded(self, spark, sf_dir):
+        from datums_warehouse_spark.operators import joins
+
+        urgent = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        n_words = (
+            urgent.select(
+                F.explode(
+                    F.array(
+                        joins._bloom_pos(F.col("o_orderkey"), 0),
+                        joins._bloom_pos(F.col("o_orderkey"), 1),
+                    )
+                ).alias("pos")
+            )
+            .select(F.floor(F.col("pos") / 64).alias("idx"), bit.alias("bit"))
+            .groupBy("idx")
+            .agg(F.bit_or("bit").alias("word"))
+            .count()
+        )
+        assert n_words <= joins.BLOOM_WORD_COUNT
+
+
+class TestTokenBudgetPick:
+    def test_budget_respected_and_greedy(self, spark, sf_dir, duck):
+        """Total picked tokens fit the budget, and no unpicked document has
+        strictly higher quality than every picked one (greedy order)."""
+        from datums_warehouse_spark.llm import text
+
+        out = text.l27_token_budget_pick(spark, sf_dir).collect()
+        picked_tokens = sum(r.tokens_picked for r in out)
+        total = duck.execute(
+            "SELECT sum(len(string_split(text, ' '))) FROM documents"
+        ).fetchone()[0]
+        budget = int(total) // text.BUDGET_FRACTION
+        assert 0 < picked_tokens <= budget
+        # the next doc in quality order must not have fit (greedy tightness):
+        # adding the single highest-quality unpicked doc overshoots.
+        nxt = duck.execute(
+            """
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+                           * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                              / len(string_split(text, ' '))) AS quality
+                FROM documents
+            ),
+            c AS (
+                SELECT n_tokens,
+                       sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+                FROM q
+            )
+            SELECT min(n_tokens) FROM c WHERE cum > ?
+            """,
+            [budget],
+        ).fetchone()[0]
+        if nxt is not None:
+            # documents are picked in quality order, so the first excluded
+            # one (smallest overshoot) must not fit in the remaining budget
+            first_excluded = duck.execute(
+                """
+                WITH q AS (
+                    SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                           least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+                               * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                  / len(string_split(text, ' '))) AS quality
+                    FROM documents
+                ),
+                c AS (
+                    SELECT n_tokens,
+                           sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+                    FROM q
+                )
+                SELECT n_tokens FROM c WHERE cum > ? ORDER BY cum LIMIT 1
+                """,
+                [budget],
+            ).fetchone()[0]
+            assert picked_tokens + first_excluded > budget
