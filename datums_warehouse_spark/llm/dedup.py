@@ -779,3 +779,74 @@ def l26_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_leaked_pairs"))
     )
+
+
+# --- L29: end-to-end near-dup removal — the materialized deduped corpus ------
+
+
+@query(
+    "l29_dedup_materialize",
+    oracle=f"""
+        WITH RECURSIVE sh AS MATERIALIZED ({SQL_SHINGLES}),
+        {SQL_LSH_CAND},
+        {SQL_JACCARD_CTES},
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT u, u AS x FROM edges
+            UNION
+            SELECT r.u, e.v AS x FROM reach r JOIN edges e ON e.u = r.x
+        ),
+        dropped AS (
+            SELECT u AS doc_id FROM reach GROUP BY u HAVING u != min(x)
+        )
+        SELECT d.source,
+               count(*) AS n_docs_before,
+               count(*) FILTER (WHERE dr.doc_id IS NULL) AS n_docs_after,
+               CAST(sum(len(string_split(d.text, ' ')))
+                    FILTER (WHERE dr.doc_id IS NULL) AS BIGINT) AS tokens_after
+        FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        GROUP BY d.source
+    """,
+    tags=("L29", "iterative", "eager"),
+)
+def l29_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal, materialized: run the full L2 pipeline
+    (shingle → MinHash → LSH bands → Jaccard-verified pairs → connected
+    components), drop every non-canonical cluster member (keep = smallest
+    doc_id, l2_dedup_clusters' rule), and report the surviving corpus per
+    source — documents and tokens before/after. This is the step that
+    actually SHIPS a deduped training corpus; the earlier L-queries grade
+    its ingredients.
+
+    Scale shape: the drop list is |non-canonical members| — a small
+    fraction of the corpus by construction — so the final pass is one
+    full scan left-anti-shaped against a compact key set (here a left
+    join + null test so before/after come from the same aggregate), after
+    the bucketed LSH pipeline whose scaling STRESS.md measures. To write
+    the corpus itself, replace the aggregate with
+    ``d.join(drop, "doc_id", "left_anti").write`` — same plan minus the
+    rollup.
+    """
+    clusters = l2_dedup_clusters(spark, sf_dir)
+    dropped = clusters.filter(~F.col("keep")).select("doc_id", F.lit(True).alias("dr"))
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    survives = F.col("dr").isNull()
+    return (
+        d.join(F.broadcast(dropped), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_before"),
+            F.count(F.when(survives, 1)).alias("n_docs_after"),
+            F.sum(F.when(survives, n_tok)).alias("tokens_after"),
+        )
+    )

@@ -148,6 +148,8 @@ _GRADE_FRONT = (
     "s12_compaction",
     "l27_token_budget_pick",
     "l28_dataset_card",
+    "s13_vacuum",
+    "l29_dedup_materialize",
     # refresh slots: the ledger's oldest evidence (r01-era rows) — fills
     # the window to exactly GRADE_WINDOW with deterministic membership
     "p1_project_compute", "p2_filter_comparison", "p3_filter_time_range",
@@ -157,7 +159,7 @@ _GRADE_FRONT = (
     "j4_left_outer_custdist", "j4_full_outer_daily", "j5_semi_join",
     "j6_anti_join", "j7_cross_join", "j8_range_join",
     "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
-    "a5_rollup", "a5_cube", "a6_having", "a7_distinct",
+    "a5_rollup", "a5_cube",
 )
 
 

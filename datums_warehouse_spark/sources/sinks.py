@@ -404,3 +404,58 @@ def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.parquet(compacted)
         )
     return _event_agg(spark.read.parquet(compacted))
+
+
+N_ORPHANS = 2  # simulated failed/speculative task attempts left behind
+
+
+@query("s13_vacuum", oracle=_SQL_EVENT_AGG, tags=("S13", "scale", "eager"))
+def s13_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum — manifest-driven orphan-file cleanup, the maintenance twin
+    of s12's compaction: failed or speculative write attempts leave
+    data-bearing part files that no commit ever published; a reader that
+    resolves the dataset by DIRECTORY LISTING silently double-counts
+    them. Vacuum reconciles the listing against the committed manifest
+    and deletes the difference.
+
+    Round-trip under grade: (1) write events, record the committed parts
+    in a _MANIFEST (s11's commit-protocol artifact, built here from the
+    native writer's output); (2) inject N_ORPHANS orphan part files —
+    byte-identical copies of committed parts under attempt-style names,
+    exactly what a killed task attempt leaves; (3) vacuum = one directory
+    listing diffed against the manifest, O(#files) metadata work, ZERO
+    data read; (4) the graded aggregate reads the directory BY LISTING —
+    a missed orphan double-counts rows and shifts the hash, an
+    over-eager delete loses rows and shifts it the other way, so the
+    hash-match brackets the vacuum from both sides.
+
+    At 100 TB this runs per partition directory with a listing cursor;
+    cost is proportional to file count, never data volume. A retention
+    guard (mtime > max in-flight commit age) belongs in front of the
+    delete in production — elided here because the graded store is
+    quiescent by construction.
+    """
+    import uuid
+
+    out = _sink_dir("s13_vacuum", sf_dir)
+    events_us(spark, sf_dir).repartition(8, "event_id").write.parquet(out)
+    committed = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    with open(os.path.join(out, "_MANIFEST"), "w") as fh:
+        fh.writelines(f"{name}\n" for name in sorted(committed))
+
+    for i, part in enumerate(sorted(committed)[:N_ORPHANS]):
+        shutil.copy(
+            os.path.join(out, part),
+            os.path.join(out, f"part-orphan-{i}-{uuid.uuid4().hex}.parquet"),
+        )
+
+    manifest = {
+        line.strip()
+        for line in open(os.path.join(out, "_MANIFEST"))
+        if line.strip()
+    }
+    for f in os.listdir(out):
+        if f.endswith(".parquet") and f not in manifest:
+            os.remove(os.path.join(out, f))
+
+    return _event_agg(spark.read.parquet(out))

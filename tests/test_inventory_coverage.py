@@ -14,7 +14,7 @@ from datums_warehouse_spark import all_queries
 # T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
 # the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 13)]         # scans / sinks / connectors / compaction
+    [f"s{i}" for i in range(1, 14)]         # scans/sinks/connectors/compaction/vacuum
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 13)]       # joins (J11 salted skew, J12 bloom)
     + [f"a{i}" for i in range(1, 12)]       # aggregations
@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 12)]       # streaming
     + [f"x{i}" for i in range(1, 10)]       # time-series specials
-    + [f"l{i}" for i in range(1, 29)]       # LLM pipeline (incl. additions)
+    + [f"l{i}" for i in range(1, 30)]       # LLM pipeline (incl. additions)
     + [f"d{i}" for i in range(1, 6)]        # UDF surface
 )
 

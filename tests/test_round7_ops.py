@@ -200,3 +200,51 @@ class TestTokenBudgetPick:
                 [budget],
             ).fetchone()[0]
             assert picked_tokens + first_excluded > budget
+
+
+class TestVacuum:
+    def test_orphans_removed_and_content_exact(self, spark, sf_dir):
+        """After s13, every surviving part is manifest-listed and a
+        listing-based read returns exactly the source row count — the
+        double-count an unvacuumed orphan causes is gone."""
+        sinks.s13_vacuum(spark, sf_dir).collect()
+        tag = sf_dir.rstrip("/").split("/")[-1]
+        out = os.path.join(sinks._SINK_ROOT, tag, "s13_vacuum")
+        manifest = {
+            line.strip()
+            for line in open(os.path.join(out, "_MANIFEST"))
+            if line.strip()
+        }
+        on_disk = {f for f in os.listdir(out) if f.endswith(".parquet")}
+        assert on_disk == manifest
+        n_src = load(spark, sf_dir, "events").count()
+        assert spark.read.parquet(out).count() == n_src
+
+    def test_orphan_injection_would_double_count(self, spark, sf_dir, tmp_path):
+        """The scenario is real: by-listing reads DO double-count an orphan
+        part (the failure mode vacuum exists for)."""
+        import shutil
+
+        out = str(tmp_path / "store")
+        load(spark, sf_dir, "events").limit(100).repartition(2).write.parquet(out)
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(out, parts[0]),
+            os.path.join(out, "part-orphan-deadbeef.parquet"),
+        )
+        assert spark.read.parquet(out).count() > 100
+
+
+class TestDedupMaterialize:
+    def test_before_after_consistency(self, spark, sf_dir):
+        """after = before − dropped, summed over sources; survivors include
+        every cluster canonical and every never-clustered doc."""
+        from datums_warehouse_spark.llm import dedup
+
+        out = dedup.l29_dedup_materialize(spark, sf_dir).collect()
+        clusters = dedup.l2_dedup_clusters(spark, sf_dir).collect()
+        n_dropped = sum(1 for r in clusters if not r.keep)
+        before = sum(r.n_docs_before for r in out)
+        after = sum(r.n_docs_after for r in out)
+        assert before - after == n_dropped
+        assert load(spark, sf_dir, "documents").count() == before
