@@ -412,21 +412,111 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J12: explicit bloom-filter runtime prefilter for selective joins --------
 
-BLOOM_BITS = 1 << 16        # 65,536-bit filter → at most 1,024 64-bit words
-BLOOM_WORD_COUNT = BLOOM_BITS // 64
+BLOOM_BITS_MIN = 1 << 16      # floor: 8 KiB of words
+BLOOM_BITS_MAX = 1 << 22      # cap: 512 KiB broadcast — still trivially small
+BLOOM_BITS_PER_KEY = 8        # m ≈ 8n, k=2 ⇒ FP ≈ (1 - e^(-1/4))² ≈ 4.9 %
 
 
-def _bloom_pos(key, i: int):
-    """Bit position ``i`` (0 or 1) of ``key``: the i-th 24-bit slice of ONE
-    md5 — both positions come from a single hash evaluation per row (md5
-    dominates probe cost; two independent hashes measured ~1.7× slower),
-    and md5 is engine-portable so any md5-capable system can rebuild or
-    probe the same filter."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(key.cast("string")), 1 + 6 * i, 6), 16, 10).cast(
-            "long"
-        ),
-        F.lit(BLOOM_BITS),
+def _bloom_slice(key, i: int):
+    """Raw (pre-mod-m) 24-bit hash ``i`` (0 or 1) of ``key``: the i-th
+    24-bit slice of ONE md5 — both hashes come from a single md5 evaluation
+    per row (md5 dominates probe cost; two independent hashes measured
+    ~1.7× slower), and md5 is engine-portable so any md5-capable system
+    can rebuild or probe the same filter. 24 bits ≥ log2(BLOOM_BITS_MAX),
+    so pmod to any supported m loses nothing."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1 + 6 * i, 6), 16, 10).cast(
+        "long"
+    )
+
+
+def bloom_bitmap(keys: DataFrame, key: str) -> DataFrame:
+    """ONE-row bloom filter over ``keys[key]``: (bm = filter size in bits,
+    bf = dense array of bm/64 longs). m is sized FROM THE DATA — a 1-row
+    count aggregate folded in lazily (no driver collect), clamped to
+    [BLOOM_BITS_MIN, BLOOM_BITS_MAX] and rounded to whole 64-bit words — so
+    the filter never saturates as the key set grows (a fixed m measured
+    3.6× superlinear at 32× data in STRESS.md: every bit set ⇒ the filter
+    passed everything and the probe paid for nothing)."""
+    dims = keys.agg(F.count(F.lit(1)).alias("n")).select(
+        (
+            F.least(
+                F.lit(BLOOM_BITS_MAX),
+                F.greatest(F.lit(BLOOM_BITS_MIN), F.col("n") * BLOOM_BITS_PER_KEY),
+            )
+            # round up to a whole number of 64-bit words
+            .cast("long") + 63
+        ).cast("long").alias("raw")
+    ).select(((F.col("raw") / 64).cast("long") * 64).alias("bm"))
+
+    k = F.col(key)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    words = (
+        keys.join(F.broadcast(dims), how="cross")
+        .select(
+            "bm",
+            F.explode(
+                F.array(
+                    F.pmod(_bloom_slice(k, 0), F.col("bm")),
+                    F.pmod(_bloom_slice(k, 1), F.col("bm")),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "bm", F.floor(F.col("pos") / 64).cast("int").alias("idx"), bit.alias("bit")
+        )
+        .groupBy("bm", "idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    # densify into a bm/64-slot ARRAY so each probe is an O(1) element_at
+    # (a MAP would be a linear key scan per probe row). The fill is a
+    # DISTRIBUTED left join of every slot index against the set words —
+    # NOT a per-slot map lookup on one row: transform+element_at(map) is
+    # O(slots × |map|) single-threaded, which measured 369 s at 32× data
+    # (65,536 slots × ~60k map entries ≈ 4B comparisons on the build row).
+    slots = dims.select(
+        "bm",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("bm") / 64).cast("int")) - 1)
+        ).alias("idx"),
+    )
+    return (
+        slots.join(words, ["bm", "idx"], "left")
+        .groupBy("bm")  # bm is constant: one group, carried as a column
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("idx"), F.coalesce(F.col("word"), F.lit(0)).alias("word")
+                    )
+                )
+            ).alias("sw")
+        )
+        .select("bm", F.transform("sw", lambda s: s["word"]).alias("bf"))
+    )
+
+
+def bloom_prefilter(df: DataFrame, key: str, bitmap: DataFrame) -> DataFrame:
+    """Rows of ``df`` whose ``key`` passes the bloom filter — a SUPERSET of
+    the true matches (false negatives impossible). The 1-row bitmap
+    broadcasts whole; probing is a projection-level array lookup — zero
+    probe-side shuffles or join operators. The md5 slices are computed
+    BELOW the 1-row join so they stay inside the scan's codegen stage
+    (BroadcastNestedLoopJoin output is evaluated interpreted; hashing
+    there measured ~20 % slower end-to-end)."""
+    k = F.col(key)
+    pre = df.withColumn("__s0", _bloom_slice(k, 0)).withColumn(
+        "__s1", _bloom_slice(k, 1)
+    )
+    probe = pre.join(F.broadcast(bitmap), how="cross")
+
+    def _test(s: str):
+        p = F.pmod(F.col(s), F.col("bm"))
+        word = F.element_at("bf", (F.floor(p / 64) + 1).cast("int"))
+        b = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({s}, bm) % 64 AS INT))")
+        return F.coalesce(word.bitwiseAND(b) != 0, F.lit(False))
+
+    return probe.filter(_test("__s0") & _test("__s1")).drop(
+        "bm", "bf", "__s0", "__s1"
     )
 
 
@@ -457,28 +547,38 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     *different* system: the words are plain (idx, bits) longs under a
     portable md5-derived hash, not an opaque JVM sketch).
 
-    Mechanics, all JVM-side columnar expressions:
+    Mechanics, all JVM-side columnar expressions (bloom_bitmap /
+    bloom_prefilter above, reusable against any key column):
 
-    1. build: each urgent o_orderkey sets k=2 bits of a 2^16-bit filter —
-       explode the two positions, bit_or-aggregate into ≤1,024
-       (word_idx, word) longs. The filter is ~8 KiB however large the
-       build side row count is (vs a broadcast hash set that grows with it).
-    2. probe: the word table folds into ONE map<idx, word> row that
-       broadcasts whole; each lineitem row recomputes its two positions
-       (two 24-bit slices of a single md5) and tests (word & bit) != 0
-       via element_at — a projection-level lookup, no probe-side join
-       operators or shuffles at all (map miss ⇒ null ⇒ filtered).
+    1. build: size m from the key count (lazy 1-row aggregate, no driver
+       collect; BLOOM_BITS_PER_KEY bits per key, clamped to
+       [2^16, 2^22]) — a FIXED m saturates as the key set grows (measured:
+       3.6× superlinear at 32× data before m became adaptive); each key
+       sets k=2 bits (two 24-bit slices of one md5), bit_or-aggregated
+       into (idx, word) longs and densified into ONE array row.
+    2. probe: the 1-row (bm, bf) bitmap broadcasts whole; each lineitem
+       row recomputes its two positions and tests (word & bit) != 0 via
+       an O(1) element_at — a projection-level lookup, no probe-side join
+       operators or shuffles at all.
     3. exact confirm: a left-semi join against the true key set removes
        bloom false positives — output is EXACTLY the plain semi-join (the
        oracle), false negatives being impossible by construction.
 
     At 100 TB the win is scan-side: with ~1/5 of orders urgent and an FP
-    rate of (1 - e^(-2n/m))^2, the probe shuffle carries only true matches
-    + ε instead of the full fact table; the confirm join's shuffle is over
-    the pre-filtered remnant. At sf0.1 (n≈30k keys, m=65,536) the filter
-    saturates toward ~60% density — production sizing scales m with n
-    (BLOOM_BITS is a constant here only to keep the graded artifact
-    deterministic and tiny); the semantics are m-independent.
+    rate of (1 - e^(-2n/m))² ≈ 5 % at m = 8n, the probe shuffle carries
+    only true matches + ε instead of the full fact table; the confirm
+    join's shuffle is over the pre-filtered remnant. Past the 2^22 cap,
+    production would shard the filter by key range — the build is already
+    grouped, so that is one extra grouping column.
+
+    Honest scale note: the prefilter PAYS only when the build side is too
+    big to broadcast (the confirm join is then a shuffle join over ~5 %
+    of the fact table instead of 100 %). At graded sizes the key set IS
+    broadcastable, so the bloom stage is measurable pure overhead
+    (~4× the plain semi-join at sf0.1) — the query exists to grade the
+    pattern's exactness and its build/probe plumbing, and STRESS.md
+    tracks that the overhead stays linear (the pre-adaptive fixed-m
+    version saturated superlinearly; this one must not).
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
@@ -488,50 +588,7 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-
-    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-    # ≤1,024 (idx, word) rows, folded into ONE map row: the whole filter
-    # broadcasts as a single value and probing is a map lookup, not a join
-    # — the probe side pays zero shuffles and zero extra join operators.
-    bitmap = (
-        urgent.select(
-            F.explode(
-                F.array(
-                    _bloom_pos(F.col("o_orderkey"), 0),
-                    _bloom_pos(F.col("o_orderkey"), 1),
-                )
-            ).alias("pos")
-        )
-        .select(F.floor(F.col("pos") / 64).alias("idx"), bit.alias("bit"))
-        .groupBy("idx")
-        .agg(F.bit_or("bit").alias("word"))
-        .agg(F.map_from_arrays(F.collect_list("idx"), F.collect_list("word")).alias("m"))
-        # densify: element_at on a MAP is a linear key scan (O(|map|) per
-        # probe row — measured ~0.7 s of pure lookup at sf0.1); a dense
-        # 1,024-slot ARRAY makes each probe O(1). The fill runs once on the
-        # single build row.
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(BLOOM_WORD_COUNT - 1)),
-                lambda i: F.coalesce(F.element_at("m", i), F.lit(0)),
-            ).alias("bf")
-        )
-    )
-
-    probe = li.withColumn("p0", _bloom_pos(F.col("l_orderkey"), 0)).withColumn(
-        "p1", _bloom_pos(F.col("l_orderkey"), 1)
-    )
-
-    def _test(p: str):
-        word = F.element_at("bf", (F.floor(F.col(p) / 64) + 1).cast("int"))
-        b = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))")
-        return F.coalesce(word.bitwiseAND(b) != 0, F.lit(False))
-
-    hit = (
-        probe.join(F.broadcast(bitmap), how="cross")
-        .filter(_test("p0") & _test("p1"))
-        .drop("bf", "p0", "p1")
-    )
+    hit = bloom_prefilter(li, "l_orderkey", bloom_bitmap(urgent, "o_orderkey"))
     confirmed = hit.join(
         urgent, hit.l_orderkey == urgent.o_orderkey, "left_semi"
     )

@@ -81,10 +81,13 @@ QUERIES = [
     "j11_salted_skew_join",
     "l25_dataset_split",
     "l26_cross_split_leakage",
-    # mid-round-7 additions: the explicit bloom runtime-filter join and
-    # the budgeted curriculum pick over the sharded cumsum
+    # mid-round-7 additions: the explicit bloom runtime-filter join, the
+    # budgeted curriculum pick over the sharded cumsum, and the end-to-end
+    # dedup materialization (rides the full LSH pipeline, so it shares the
+    # dedup rows' 8× oracle ceiling)
     "j12_bloom_prefilter_join",
     "l27_token_budget_pick",
+    "l29_dedup_materialize",
 ]
 # Per-query oracle ceiling: above this multiplier the DuckDB side of the
 # recursive/quadratic constructions explodes, but AT/below it the oracle
@@ -96,6 +99,7 @@ ORACLE_MAX_MULT = {
     "l2_dedup_clusters": 8,
     "l18_decontamination": 8,
     "l26_cross_split_leakage": 8,  # rides the full LSH pair pipeline
+    "l29_dedup_materialize": 8,    # rides the full LSH pair pipeline
 }
 
 

@@ -83,64 +83,33 @@ class TestBloomPrefilter:
                 urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
             ).distinct().collect()
         }
-
-        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-        words = (
-            urgent.select(
-                F.explode(
-                    F.array(
-                        joins._bloom_pos(F.col("o_orderkey"), 0),
-                        joins._bloom_pos(F.col("o_orderkey"), 1),
-                    )
-                ).alias("pos")
-            )
-            .select(F.floor(F.col("pos") / 64).alias("idx"), bit.alias("bit"))
-            .groupBy("idx")
-            .agg(F.bit_or("bit").alias("word"))
-        )
-        probe = li.withColumn("p0", joins._bloom_pos(F.col("l_orderkey"), 0)).withColumn(
-            "p1", joins._bloom_pos(F.col("l_orderkey"), 1)
-        )
-        w0 = words.select(F.col("idx").alias("i0"), F.col("word").alias("word0"))
-        w1 = words.select(F.col("idx").alias("i1"), F.col("word").alias("word1"))
+        bm = joins.bloom_bitmap(urgent, "o_orderkey")
         bloom_pass = {
             r[0]
-            for r in probe.join(F.broadcast(w0), F.floor(F.col("p0") / 64) == F.col("i0"))
-            .join(F.broadcast(w1), F.floor(F.col("p1") / 64) == F.col("i1"))
-            .filter(
-                F.expr("(word0 & shiftleft(CAST(1 AS BIGINT), CAST(p0 % 64 AS INT))) != 0")
-                & F.expr("(word1 & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))) != 0")
-            )
+            for r in joins.bloom_prefilter(li, "l_orderkey", bm)
             .select("l_orderkey")
             .distinct()
             .collect()
         }
         assert truth <= bloom_pass  # no false negatives, ever
 
-    def test_bloom_word_table_is_bounded(self, spark, sf_dir):
+    def test_bitmap_sizes_with_key_count_and_is_bounded(self, spark, sf_dir):
+        """m adapts to the build-side cardinality (a fixed m saturates as
+        keys grow) and stays within the [MIN, MAX] clamp, in whole words."""
         from datums_warehouse_spark.operators import joins
 
-        urgent = (
-            load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderpriority") == "1-URGENT")
-            .select("o_orderkey")
-        )
-        bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-        n_words = (
-            urgent.select(
-                F.explode(
-                    F.array(
-                        joins._bloom_pos(F.col("o_orderkey"), 0),
-                        joins._bloom_pos(F.col("o_orderkey"), 1),
-                    )
-                ).alias("pos")
-            )
-            .select(F.floor(F.col("pos") / 64).alias("idx"), bit.alias("bit"))
-            .groupBy("idx")
-            .agg(F.bit_or("bit").alias("word"))
-            .count()
-        )
-        assert n_words <= joins.BLOOM_WORD_COUNT
+        orders = load(spark, sf_dir, "orders").select("o_orderkey")
+        small = orders.limit(10)
+        row_small = joins.bloom_bitmap(small, "o_orderkey").collect()[0]
+        assert row_small.bm == joins.BLOOM_BITS_MIN  # clamped up
+        assert len(row_small.bf) == row_small.bm // 64
+
+        big = spark.range(20000).withColumnRenamed("id", "k")
+        row_big = joins.bloom_bitmap(big, "k").collect()[0]
+        assert row_big.bm >= 20000 * joins.BLOOM_BITS_PER_KEY
+        assert row_big.bm <= joins.BLOOM_BITS_MAX
+        assert row_big.bm % 64 == 0
+        assert len(row_big.bf) == row_big.bm // 64
 
 
 class TestTokenBudgetPick:
