@@ -781,3 +781,83 @@ def l28_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --- L30: global decile binning without a global window ----------------------
+
+N_TILES = 10
+
+
+@query(
+    "l30_length_deciles",
+    oracle="""
+        WITH ranked AS (
+            SELECT n_chars,
+                   ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+            FROM documents
+        )
+        SELECT decile,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM ranked GROUP BY decile
+    """,
+    tags=("L30", "scale"),
+)
+def l30_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global decile binning of the corpus by document length — the
+    distribution profile a curriculum schedule or a length-bucketed
+    batching policy is built from (which lengths hold the mass, where the
+    cut points sit), with SQL ``ntile`` semantics: the first ``n mod 10``
+    deciles hold one extra document when 10 ∤ n.
+
+    ``ntile`` is ordinarily a GLOBAL window — the exact single-task
+    funnel this repo de-weaked twice (l16, o6). Here the global rank is
+    the range-sharded cumulative count (operators/sharded.py: contiguous
+    key-range shards, per-shard partitioned windows, broadcast per-shard
+    offsets), and the tile number is then PURE ROW-LOCAL integer
+    arithmetic against the 1-row corpus count n, attached broadcast-side
+    with no driver collect:
+
+        small = n div 10;  big = n mod 10  (deciles 1..big get small+1)
+        rk <= big*(small+1) ? ceil(rk/(small+1)) : big + ceil((rk-bnd)/small)
+
+    using ``(a + b - 1) div b`` for exact integer ceilings — no doubles
+    anywhere, so tile assignment is bit-stable at any scale. The decile
+    rollup collapses map-side to 10 rows. Ties (equal n_chars) are broken
+    by doc_id, matching the oracle's ORDER BY exactly, so every row —
+    not just every decile — gets the identical tile cross-engine.
+    """
+    from datums_warehouse_spark.operators.sharded import range_sharded_cumsum
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rk = range_sharded_cumsum(
+        d,
+        key="n_chars",
+        order_cols=["n_chars", "doc_id"],
+        value=F.lit(1).cast("long"),
+        out_col="rk",
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    tiled = (
+        rk.join(F.broadcast(n), how="cross")
+        .withColumn("small", F.expr(f"n div {N_TILES}"))
+        .withColumn("big", F.col("n") % N_TILES)
+        .withColumn("bnd", F.col("big") * (F.col("small") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("rk") <= F.col("bnd"),
+                F.expr("(rk + small) div (small + 1)"),
+            ).otherwise(
+                F.col("big") + F.expr("(rk - bnd + small - 1) div small")
+            ).cast("int"),
+        )
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

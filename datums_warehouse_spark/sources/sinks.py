@@ -459,3 +459,91 @@ def s13_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.remove(os.path.join(out, f))
 
     return _event_agg(spark.read.parquet(out))
+
+
+# --- S14: snapshot diff / CDC extract ---------------------------------------
+
+
+@query(
+    "s14_snapshot_diff",
+    oracle=f"""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 13 != 0
+        ),
+        new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   o_totalprice
+                       + CASE WHEN o_orderkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+                       AS o_totalprice
+            FROM orders WHERE o_orderkey % 11 != 0
+        )
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN n.o_totalprice != o.o_totalprice THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               count(*) AS n_orders,
+               {sql_dsum("COALESCE(n.o_totalprice, 0) - COALESCE(o.o_totalprice, 0)")}
+                   AS net_price_delta
+        FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+        GROUP BY 1
+    """,
+    tags=("S14", "scale"),
+)
+def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC extract between two versions of a table
+    when the source system only hands over full snapshots: classify every
+    key as insert / delete / update / unchanged and account the net value
+    drift, the input a downstream incremental consumer (index refresh,
+    aggregate maintenance, replication) applies instead of a full reload.
+
+    The two versions are derived deterministically from ``orders`` so the
+    oracle sees byte-identical inputs: the old snapshot is missing every
+    13th key (those arrive later → inserts), the new one is missing every
+    11th (→ deletes) and reprices every 7th (+100.0, exact in binary
+    floating point → updates).
+
+    Scale shape: ONE full-outer sort-merge join, both sides shuffled on
+    the snapshot key — the minimum data movement any snapshot comparison
+    needs; with both snapshots stored bucketed by key (s2_bucketed_join's
+    layout) even that shuffle disappears and the diff is a zero-exchange
+    zip of co-located buckets. Classification is a projection over the
+    joined row; the count/delta rollup collapses map-side to four rows.
+    The net delta runs through the exact-decimal sum (determinism.dsum)
+    so insert/delete double cancellation is order-independent and
+    hash-stable cross-engine.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 13 != 0).alias("o")
+    new = (
+        base.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+        )
+        .alias("n")
+    )
+    joined = old.join(new, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .when(F.col("n.o_totalprice") != F.col("o.o_totalprice"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            (
+                F.coalesce(F.col("n.o_totalprice"), F.lit(0.0))
+                - F.coalesce(F.col("o.o_totalprice"), F.lit(0.0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("delta")).alias("net_price_delta"),
+        )
+    )

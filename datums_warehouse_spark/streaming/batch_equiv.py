@@ -1,4 +1,4 @@
-"""Streaming operators (SURVEY.md §2.9 T2–T9).
+"""Streaming operators (SURVEY.md §2.9 T2–T12).
 
 The reference "streams" by cron-polling the exchange since the last stored
 candle [R]; the genuine Spark equivalents are Structured Streaming
@@ -6,8 +6,9 @@ primitives. Each stateful shape is graded in batch mode against a DuckDB
 oracle (identical semantics — Spark's window/session functions behave the
 same under batch and microbatch); T4/T6/T7/T8 actually run ``readStream``
 with an ``availableNow`` trigger end-to-end (rows-only: an oracle can't
-run a stream), and T9 (foreachBatch upsert) is a genuine stream whose
-deterministic final table IS oracle-graded.
+run a stream), and T9 (foreachBatch upsert) and T12 (stream-static join,
+complete-mode rollup) are genuine streams whose deterministic final
+tables ARE oracle-graded.
 
 At scale: watermarks bound state-store size; session/tumbling windows key
 state by (user/series, window) which shards across executors.
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 from datums_warehouse_spark.functions.determinism import DEC, dsum, sql_dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.session import scoped_shuffle_partitions
-from datums_warehouse_spark.sources.tables import events_us, normalize_ts
+from datums_warehouse_spark.sources.tables import events_us, load, normalize_ts
 
 
 @query(
@@ -438,5 +439,60 @@ def t10_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = agg.writeStream.format("memory").queryName(name).outputMode("append").trigger(
             availableNow=True
         ).start()
+        _await(q)
+    return spark.table(name)
+
+
+@query(
+    "t12_stream_static_join",
+    oracle=f"""
+        SELECT c.c_mktsegment AS segment,
+               e.event_type AS series,
+               count(*) AS n_events,
+               {sql_dsum("e.value")} AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("T12", "stream", "eager"),
+)
+def t12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the third Structured Streaming join kind next
+    to t8's stream-stream join: a live event feed enriched against a slow
+    dimension table (here customer segments) with NO join state at all.
+    The static side is planned once and broadcast into every microbatch;
+    unmatched stream rows drop as in any inner join, and the dimension
+    can be re-read per batch for slowly-changing lookups.
+
+    The enriched feed rolls up per (segment, series) in COMPLETE output
+    mode, so once availableNow drains the source the emitted table IS the
+    batch aggregate — a genuine ``readStream`` run that is fully
+    ORACLE-GRADED (like t9), not rows-only. Decimal-exact sums make the
+    result microbatch-order-independent: however the file source splits
+    the input, the final table hashes identically.
+
+    At 100 TB of stream history this is the canonical enrichment shape:
+    per-batch state is zero (no watermark needed — the join holds
+    nothing), the dimension broadcast is bounded by the dim size, and the
+    aggregation state is O(|segments| × |series|), both independent of
+    feed volume.
+    """
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    name = f"t12_ss_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _stream_events(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("segment", F.col("event_type").alias("series"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
         _await(q)
     return spark.table(name)

@@ -217,3 +217,84 @@ class TestDedupMaterialize:
         after = sum(r.n_docs_after for r in out)
         assert before - after == n_dropped
         assert load(spark, sf_dir, "documents").count() == before
+
+
+class TestSnapshotDiff:
+    @pytest.fixture(scope="class")
+    def by_type(self, spark, sf_dir):
+        rows = sinks.s14_snapshot_diff(spark, sf_dir).collect()
+        return {r["change_type"]: r for r in rows}
+
+    def test_classification_counts(self, spark, sf_dir, by_type):
+        """Each class's count must equal the direct predicate count on the
+        base table — the join classification adds nothing and loses
+        nothing."""
+        k = load(spark, sf_dir, "orders").select("o_orderkey")
+        n = lambda c: k.filter(c).count()  # noqa: E731
+        key = F.col("o_orderkey")
+        assert by_type["insert"]["n_orders"] == n((key % 13 == 0) & (key % 11 != 0))
+        assert by_type["delete"]["n_orders"] == n((key % 11 == 0) & (key % 13 != 0))
+        assert by_type["update"]["n_orders"] == n(
+            (key % 13 != 0) & (key % 11 != 0) & (key % 7 == 0)
+        )
+        assert by_type["unchanged"]["n_orders"] == n(
+            (key % 13 != 0) & (key % 11 != 0) & (key % 7 != 0)
+        )
+
+    def test_update_delta_is_exact(self, by_type):
+        """+100.0 is exact in binary floating point, so the update class's
+        net delta is exactly 100 × its row count."""
+        u = by_type["update"]
+        assert u["net_price_delta"] == pytest.approx(100.0 * u["n_orders"], abs=1e-6)
+        assert by_type["unchanged"]["net_price_delta"] == 0.0
+
+
+class TestLengthDeciles:
+    def test_matches_single_window_ntile(self, spark, sf_dir):
+        """The sharded-rank formulation must reproduce SQL ntile bit-for-bit
+        — same per-decile membership as the global-window plan it
+        replaces."""
+        from pyspark.sql import Window
+
+        from datums_warehouse_spark.llm import text
+
+        got = {
+            r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"], r["sum_chars"])
+            for r in text.l30_length_deciles(spark, sf_dir).collect()
+        }
+        d = load(spark, sf_dir, "documents")
+        ref = {
+            r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"], r["sum_chars"])
+            for r in d.select(
+                "n_chars",
+                F.ntile(text.N_TILES)
+                .over(Window.orderBy("n_chars", "doc_id"))
+                .alias("decile"),
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .collect()
+        }
+        assert got == ref
+
+    def test_tile_sizes_and_order(self, spark, sf_dir):
+        from datums_warehouse_spark.llm import text
+
+        rows = sorted(
+            text.l30_length_deciles(spark, sf_dir).collect(),
+            key=lambda r: r["decile"],
+        )
+        total = load(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == total
+        sizes = [r["n_docs"] for r in rows]
+        # ntile: first (total mod k) tiles get the extra row
+        big, small = -(-total // text.N_TILES), total // text.N_TILES
+        assert all(s in (big, small) for s in sizes)
+        assert sizes == sorted(sizes, reverse=True)
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev["max_chars"] <= nxt["min_chars"]
