@@ -177,9 +177,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.rstrip("/").split("/")[-1]
     land = os.path.join(tempfile.gettempdir(), "dws_stream_src", tag)
     os.makedirs(land, exist_ok=True)
-    dst = os.path.join(land, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    src = f"{sf_dir}/events.parquet"
+    done = os.path.join(land, "_staged")  # leading _ → invisible to the source
+    if not os.path.exists(done):
+        if os.path.isdir(src):
+            # multi-part dataset (e.g. the stress harness's scaled
+            # warehouses): stage the part files FLAT into the landing dir
+            # — the file-stream source lists the monitored directory, it
+            # does not recurse into non-partition subdirectories
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    shutil.copyfile(os.path.join(src, f), os.path.join(land, f))
+        else:
+            shutil.copyfile(src, os.path.join(land, "events.parquet"))
+        open(done, "w").write("ok")
     stream = spark.readStream.schema(batch.schema).parquet(land)
     return normalize_ts(stream)
 

@@ -88,6 +88,13 @@ QUERIES = [
     "j12_bloom_prefilter_join",
     "l27_token_budget_pick",
     "l29_dedup_materialize",
+    # late-round-7 additions: the CDC snapshot diff (full-outer SMJ), the
+    # sharded-rank decile binning, and the genuine stream-static join run
+    # (its timing includes availableNow trigger + memory-sink mechanics,
+    # not just the join — still the scaling curve a feed consumer sees)
+    "s14_snapshot_diff",
+    "l30_length_deciles",
+    "t12_stream_static_join",
 ]
 # Per-query oracle ceiling: above this multiplier the DuckDB side of the
 # recursive/quadratic constructions explodes, but AT/below it the oracle
