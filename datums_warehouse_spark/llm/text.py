@@ -861,3 +861,63 @@ def l30_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# --- L31: blocklist term scrubbing ------------------------------------------
+
+SCRUB_PATTERN = r"\b(customer|secret)\b"  # word-boundary alternation: same
+# semantics under Java regex (Spark) and RE2 (DuckDB)
+SCRUB_MASK = "[MASKED]"
+
+
+@query(
+    "l31_blocklist_scrub",
+    oracle=f"""
+        WITH scrubbed AS (
+            SELECT source,
+                   len(text) AS chars_before,
+                   len(regexp_replace(text, '{SCRUB_PATTERN}', '{SCRUB_MASK}', 'g'))
+                       AS chars_after,
+                   len(regexp_extract_all(text, '{SCRUB_PATTERN}')) AS hits
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (hits > 0) AS docs_touched,
+               CAST(sum(hits) AS BIGINT) AS total_hits,
+               CAST(sum(chars_before - chars_after) AS BIGINT) AS chars_removed
+        FROM scrubbed GROUP BY source
+    """,
+    tags=("L31", "scale"),
+)
+def l31_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrubbing — the compliance / decontamination rewrite step
+    of a training-data pipeline: every occurrence of a blocked term is
+    replaced with a mask token, and the per-source accounting (documents
+    touched, total hits, characters removed) is the audit artifact that
+    ships with the scrubbed corpus. The same plan handles PII patterns by
+    swapping the regex; the graded pattern is a word-boundary alternation
+    chosen to be semantics-identical under Java regex (Spark) and RE2
+    (DuckDB).
+
+    Scale shape: pure column-wise projection (regexp_replace +
+    regexp_count stay inside whole-stage codegen — no UDF, no Python) and
+    one low-cardinality hash aggregate; map-side partials collapse the
+    full scan to |sources| rows with zero joins and zero windows. The
+    rewrite-and-account pass reads each document exactly once.
+    """
+    d = load(spark, sf_dir, "documents")
+    scrub = d.select(
+        "source",
+        F.length("text").alias("chars_before"),
+        F.length(F.regexp_replace("text", SCRUB_PATTERN, SCRUB_MASK)).alias(
+            "chars_after"
+        ),
+        F.regexp_count("text", F.lit(SCRUB_PATTERN)).alias("hits"),
+    )
+    return scrub.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("hits") > 0).alias("docs_touched"),
+        F.sum("hits").alias("total_hits"),
+        F.sum(F.col("chars_before") - F.col("chars_after")).alias("chars_removed"),
+    )
