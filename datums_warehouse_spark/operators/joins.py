@@ -12,7 +12,10 @@ Join-strategy discipline for 100 TB:
   output provably identical to the plain join.
 - The range join (J8) broadcasts the *small derived dimension* (one row per
   day) so the non-equi condition is a broadcast nested-loop over a 30-row
-  build side, not an O(n²) shuffle.
+  build side, not an O(n²) shuffle. When BOTH interval sides are large,
+  J13 implements the bucketed decomposition (explode intervals over
+  coarse time buckets → equi-join on the bucket → exact post-filter)
+  that replaces the quadratic nested loop.
 """
 
 from __future__ import annotations
@@ -595,3 +598,149 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confirmed.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_lines"), dsum(REVENUE()).alias("revenue")
     )
+
+
+# --- J13: bucketed interval join (both sides large) --------------------------
+
+
+@query(
+    "j13_interval_bucket_join",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+            FROM (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sid
+                FROM flagged
+            )
+            GROUP BY user_id, sid
+        )
+        SELECT s.user_id, s.session_start,
+               count(e.ts) AS n_concurrent
+        FROM sessions s LEFT JOIN events e
+          ON e.ts >= s.session_start AND e.ts <= s.session_end
+         AND e.user_id != s.user_id
+        GROUP BY 1, 2
+    """,
+    tags=("J13", "scale"),
+)
+def j13_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join where BOTH sides are large — the shape j8's docstring
+    defers to: per user session (30-min-gap islands), count the events of
+    OTHER users that fall inside the session — the concurrency / load
+    profile a capacity planner derives from a clickstream.
+
+    Neither side broadcasts at 100 TB and there is no equi-key between an
+    event and another user's session, so a naive theta join is an
+    all-pairs BroadcastNestedLoop — quadratic. The scale-safe
+    decomposition, entirely DataFrame-native:
+
+    1. sessions: per-user islands via partitioned windows (lag → flag →
+       running sum — every shuffle is keyed by user_id);
+    2. EXPLODE each session across the HOUR buckets it spans
+       (``sequence(date_trunc(start), date_trunc(end))``) — output grows
+       by the average span in hours (~1 for 30-min-gap sessions), not
+       quadratically;
+    3. key events by their own hour and EQUI-join on the bucket — a plain
+       shuffle-hash join whose per-bucket fan-out is bounded by bucket
+       width, with the exact interval + different-user predicates applied
+       as post-join filters;
+    4. no dedup pass: an event's hour is unique, and the session copy for
+       that hour is unique, so each true (session, event) pair joins
+       EXACTLY once — the decomposition is exact by construction, not
+       fixed up after;
+    5. left-join semantics restored by re-attaching zero-concurrency
+       sessions via a left anti on the aggregated keys (sessions whose
+       buckets matched no foreign events).
+
+    Bucket width trades fan-out (copies per session) against bucket
+    population; production picks it near the median interval length, and
+    skewed buckets (a flash-crowd hour) fall to AQE's skew-join split.
+    """
+    e = events_us(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # microsecond arithmetic: a whole-second cast would truncate
+            # sub-second gaps differently than the oracle's exact interval
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 1800 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+        "event_id",
+    )
+    sid = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        flagged.withColumn("sid", F.sum("new_session").over(sid))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        .drop("sid")
+    )
+
+    # 2. explode sessions over the hour buckets they span
+    s_buckets = sessions.select(
+        F.col("user_id").alias("s_user"),
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    # 3. equi-join on the bucket, exact predicates after
+    e_buckets = e.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    matched = (
+        s_buckets.join(e_buckets, "bucket")
+        .filter(
+            (F.col("e_ts") >= F.col("session_start"))
+            & (F.col("e_ts") <= F.col("session_end"))
+            & (F.col("e_user") != F.col("s_user"))
+        )
+        .groupBy(
+            F.col("s_user").alias("user_id"),
+            "session_start",
+        )
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+    # 5. sessions with zero overlapping foreign events
+    empty = (
+        sessions.join(
+            matched,
+            (sessions.user_id == matched.user_id)
+            & (sessions.session_start == matched.session_start),
+            "left_anti",
+        )
+        .select("user_id", "session_start", F.lit(0).cast("long").alias("n_concurrent"))
+    )
+    return matched.unionByName(empty)

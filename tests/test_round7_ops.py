@@ -328,3 +328,62 @@ class TestBloomSizing:
         empty = li.filter(F.lit(False)).select(F.col("l_orderkey").alias("k"))
         bm = joins.bloom_bitmap(empty, "k")
         assert joins.bloom_prefilter(li, "l_orderkey", bm).count() == 0
+
+
+class TestIntervalBucketJoin:
+    def test_matches_naive_theta_join(self, spark, sf_dir):
+        """The bucket decomposition must reproduce the naive (quadratic)
+        interval join exactly — each true (session, event) pair joins
+        exactly once, zero-concurrency sessions included."""
+        from datums_warehouse_spark.operators import joins
+        from datums_warehouse_spark.sources.tables import events_us
+
+        got = {
+            (r["user_id"], r["session_start"]): r["n_concurrent"]
+            for r in joins.j13_interval_bucket_join(spark, sf_dir).collect()
+        }
+
+        e = events_us(spark, sf_dir)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        sid_w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sessions = (
+            e.select(
+                "user_id",
+                "ts",
+                F.when(
+                    F.lag("ts").over(w).isNull()
+                    | (
+                        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                        >= 1800 * 1_000_000
+                    ),
+                    1,
+                )
+                .otherwise(0)
+                .alias("flag"),
+            )
+            .withColumn("sid", F.sum("flag").over(sid_w))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        )
+        other = e.select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        naive = {
+            (r["user_id"], r["session_start"]): r["n"]
+            for r in sessions.join(
+                other,
+                (F.col("e_ts") >= F.col("session_start"))
+                & (F.col("e_ts") <= F.col("session_end"))
+                & (F.col("e_user") != F.col("user_id")),
+                "left",
+            )
+            .groupBy("user_id", "session_start")
+            .agg(F.count("e_ts").alias("n"))
+            .collect()
+        }
+        assert got == naive
+        assert sum(got.values()) > 0  # non-trivial fixture
