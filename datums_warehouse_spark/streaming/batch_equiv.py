@@ -12,6 +12,15 @@ tables ARE oracle-graded.
 
 At scale: watermarks bound state-store size; session/tumbling windows key
 state by (user/series, window) which shards across executors.
+
+Note: the newer ``transformWithStateInPandas`` API (the successor to
+``applyInPandasWithState``) is NOT covered — its state-server protocol
+imports ``google.protobuf`` at query start
+(pyspark/sql/streaming/stateful_processor_api_client.py), and protobuf is
+absent from this environment, so any such query crashes with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before the first batch.
+applyInPandasWithState (t6_stateful_stream) covers the arbitrary-state
+capability without that dependency.
 """
 
 from __future__ import annotations
