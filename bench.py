@@ -43,6 +43,8 @@ HEADLINE = [
     # mid-round-7 additions
     "j12_bloom_prefilter_join",  # explicit bloom runtime-filter join
     "l27_token_budget_pick",     # budgeted pick via range-sharded cumsum
+    # late-round-7 addition
+    "j13_interval_bucket_join",  # bucketed large×large interval join
 ]
 
 

@@ -95,6 +95,11 @@ QUERIES = [
     "s14_snapshot_diff",
     "l30_length_deciles",
     "t12_stream_static_join",
+    # the compliance scrub (pure columnar projection) and the bucketed
+    # large×large interval join (session concurrency: per-session counts
+    # grow with replication, session KEYS don't — copies are µs-nudged)
+    "l31_blocklist_scrub",
+    "j13_interval_bucket_join",
 ]
 # Per-query oracle ceiling: above this multiplier the DuckDB side of the
 # recursive/quadratic constructions explodes, but AT/below it the oracle
