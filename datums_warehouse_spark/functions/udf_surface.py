@@ -231,3 +231,33 @@ def d2_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         self_weighted_mean("value").alias("self_weighted_mean")
     )
+
+
+@query(
+    "d6_arrow_udf",
+    oracle="""
+        SELECT o_orderkey,
+               substr(o_orderpriority, 3) || ':' ||
+                   CAST(o_orderkey % 13 AS VARCHAR) AS tag
+        FROM orders
+    """,
+    tags=("D6",),
+)
+def d6_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (D6, ``useArrow=True``) — row-at-a-time
+    Python SEMANTICS on the Arrow serialization path: batches cross the
+    JVM↔Python boundary as Arrow record batches instead of pickled rows,
+    typically several× faster than D1's pickled transfer while keeping
+    the plain-scalar programming model (no pandas Series handling as in
+    D2). The logic is exact string/int arithmetic so the escape hatch
+    stays under the oracle like every other D-surface query.
+    """
+
+    @F.udf("string", useArrow=True)
+    def tag(priority: str, key: int) -> str:
+        return f"{priority[2:]}:{key % 13}"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", tag("o_orderpriority", "o_orderkey").alias("tag")
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datums_warehouse_spark.functions.determinism import dsum, sql_dsum
+from datums_warehouse_spark.functions.hashing import sql_hash48
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us, load
 
@@ -296,4 +298,46 @@ def o6_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("xdim").alias("x_max"),
         F.min("ydim").alias("y_min"),
         F.max("ydim").alias("y_max"),
+    )
+
+
+# --- O7: deterministic hash sample ------------------------------------------
+
+SAMPLE_PCT = 5  # keep ~5% of rows
+
+
+@query(
+    "o7_hash_sample",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_sampled,
+               {sql_dsum("value")} AS value_sum
+        FROM events
+        WHERE {sql_hash48("CAST(event_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+        GROUP BY event_type
+    """,
+    tags=("O7", "sampling", "scale"),
+)
+def o7_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via a portable content hash — the
+    reproducible complement to o5's engine-RNG sampling (rows-only by
+    necessity): membership depends only on the row's key, so the sample
+    is STABLE across runs, engines, partitionings, and incremental
+    appends — the property an eval set or a debugging slice needs, and
+    the reason this variant IS hash-graded while o5 cannot be.
+
+    Scale shape: the membership predicate is a pure projection-level
+    filter (md5 → 48-bit int → mod) evaluated inside the scan's codegen
+    stage — no shuffle, no state, no coordination; the per-type rollup
+    collapses map-side. Skew-free by construction: md5 spreads any key
+    distribution uniformly over the percentile space.
+    """
+    from datums_warehouse_spark.functions.hashing import hash48
+
+    e = events_us(spark, sf_dir)
+    sampled = e.filter(
+        hash48(F.col("event_id").cast("string")) % 100 < SAMPLE_PCT
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"), dsum("value").alias("value_sum")
     )

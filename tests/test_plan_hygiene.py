@@ -39,6 +39,7 @@ PANDAS_ALLOWED = {
     "d2_pandas_udf",
     "d2_pandas_udaf",
     "d3_grouped_apply",
+    "d6_arrow_udf",            # Arrow-path scalar UDF (useArrow=True)
     "x6_ema",                  # recursive filter: y[i] = f(y[i-1])
     "x3b_interpolate_scaled",  # chunked applyInPandas interpolation
     "l9_multimodal_features",  # mapInPandas binary feature extraction
