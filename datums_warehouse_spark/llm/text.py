@@ -828,6 +828,13 @@ def l30_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup collapses map-side to 10 rows. Ties (equal n_chars) are broken
     by doc_id, matching the oracle's ORDER BY exactly, so every row —
     not just every decile — gets the identical tile cross-engine.
+
+    Skew caveat: the cumsum helper shards by EQUAL-WIDTH key ranges, and
+    document length is heavy-tailed — a max-length outlier concentrates
+    the bulk in few shards (correctness unaffected; parallelism degrades
+    toward the funnel). At production scale swap the bound computation
+    for percentile bounds / ``repartitionByRange``, exactly as
+    operators/sharded.py's docstring prescribes for skewed keys.
     """
     from datums_warehouse_spark.operators.sharded import range_sharded_cumsum
 

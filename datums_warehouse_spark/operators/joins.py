@@ -440,6 +440,8 @@ def bloom_bitmap(keys: DataFrame, key: str) -> DataFrame:
     the filter never saturates as the key set grows (a fixed m measured
     3.6× superlinear at 32× data in STRESS.md: every bit set ⇒ the filter
     passed everything and the probe paid for nothing)."""
+    reserved = {"bm", "pos", "idx", "bit", "word"} & set(keys.columns) - {key}
+    assert not reserved, f"bloom_bitmap: rename conflicting columns {reserved}"
     dims = keys.agg(F.count(F.lit(1)).alias("n")).select(
         (
             F.least(
@@ -506,6 +508,8 @@ def bloom_prefilter(df: DataFrame, key: str, bitmap: DataFrame) -> DataFrame:
     BELOW the 1-row join so they stay inside the scan's codegen stage
     (BroadcastNestedLoopJoin output is evaluated interpreted; hashing
     there measured ~20 % slower end-to-end)."""
+    reserved = {"bm", "bf", "__s0", "__s1"} & set(df.columns)
+    assert not reserved, f"bloom_prefilter: rename conflicting columns {reserved}"
     k = F.col(key)
     pre = df.withColumn("__s0", _bloom_slice(k, 0)).withColumn(
         "__s1", _bloom_slice(k, 1)
@@ -606,12 +610,18 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j13_interval_bucket_join",
     oracle="""
-        WITH flagged AS (
-            SELECT user_id, ts,
+        WITH ev AS (
+            -- µs truncation: Spark reads the NANOS parquet at µs, DuckDB
+            -- at ns; every graded ts comparison casts both sides
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM ev
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -619,7 +629,7 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (
                 SELECT user_id, ts,
                        SUM(new_session) OVER (PARTITION BY user_id
-                           ORDER BY ts
+                           ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            AS sid
                 FROM flagged
@@ -628,7 +638,7 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT s.user_id, s.session_start,
                count(e.ts) AS n_concurrent
-        FROM sessions s LEFT JOIN events e
+        FROM sessions s LEFT JOIN ev e
           ON e.ts >= s.session_start AND e.ts <= s.session_end
          AND e.user_id != s.user_id
         GROUP BY 1, 2
@@ -660,9 +670,11 @@ def j13_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        that hour is unique, so each true (session, event) pair joins
        EXACTLY once — the decomposition is exact by construction, not
        fixed up after;
-    5. left-join semantics restored by re-attaching zero-concurrency
-       sessions via a left anti on the aggregated keys (sessions whose
-       buckets matched no foreign events).
+    5. LEFT-join on the bucket: every session keeps at least one bucket
+       row, so zero-concurrency sessions fall out of the single
+       conditional-count aggregate with n_concurrent = 0 — no second
+       pass, no anti-join, and the sessions pipeline appears in the plan
+       exactly once.
 
     Bucket width trades fan-out (copies per session) against bucket
     population; production picks it near the median interval length, and
@@ -691,7 +703,8 @@ def j13_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sid = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")  # full tie-break: ts alone would make
+        # session membership of equal-ts rows shuffle-order dependent
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = (
@@ -720,27 +733,20 @@ def j13_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("e_ts"),
         F.date_trunc("hour", "ts").alias("bucket"),
     )
-    matched = (
-        s_buckets.join(e_buckets, "bucket")
-        .filter(
-            (F.col("e_ts") >= F.col("session_start"))
-            & (F.col("e_ts") <= F.col("session_end"))
-            & (F.col("e_user") != F.col("s_user"))
+    # left join keeps every session's bucket rows; the conditional count
+    # ignores unmatched (null) and non-overlapping rows, so zero-concurrency
+    # sessions emerge with 0 from the SAME single aggregate
+    return (
+        s_buckets.join(e_buckets, "bucket", "left")
+        .groupBy("s_user", "session_start", "session_end")
+        .agg(
+            F.count_if(
+                (F.col("e_ts") >= F.col("session_start"))
+                & (F.col("e_ts") <= F.col("session_end"))
+                & (F.col("e_user") != F.col("s_user"))
+            ).alias("n_concurrent")
         )
-        .groupBy(
-            F.col("s_user").alias("user_id"),
-            "session_start",
+        .select(
+            F.col("s_user").alias("user_id"), "session_start", "n_concurrent"
         )
-        .agg(F.count(F.lit(1)).alias("n_concurrent"))
     )
-    # 5. sessions with zero overlapping foreign events
-    empty = (
-        sessions.join(
-            matched,
-            (sessions.user_id == matched.user_id)
-            & (sessions.session_start == matched.session_start),
-            "left_anti",
-        )
-        .select("user_id", "session_start", F.lit(0).cast("long").alias("n_concurrent"))
-    )
-    return matched.unionByName(empty)

@@ -189,6 +189,12 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/events.parquet"
     done = os.path.join(land, "_staged")  # leading _ → invisible to the source
     if not os.path.exists(done):
+        # wipe any pre-marker or partially-staged debris first: stale part
+        # files would be served ALONGSIDE the fresh copies (the source
+        # reads every .parquet in the dir) — silent duplicate rows
+        for f in os.listdir(land):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(land, f))
         if os.path.isdir(src):
             # multi-part dataset (e.g. the stress harness's scaled
             # warehouses): stage the part files FLAT into the landing dir

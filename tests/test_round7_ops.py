@@ -301,26 +301,8 @@ class TestLengthDeciles:
 
 
 class TestBloomSizing:
-    def test_bitmap_dimensions_clamp_and_scale(self, spark):
-        """m = 8 bits/key clamped to [2^16, 2^22], rounded to whole 64-bit
-        words, and the dense array always holds exactly bm/64 longs."""
-        from datums_warehouse_spark.operators import joins
-
-        def dims(n_keys: int):
-            keys = spark.range(n_keys).select(F.col("id").alias("k"))
-            row = joins.bloom_bitmap(keys, "k").collect()[0]
-            return row["bm"], len(row["bf"])
-
-        # tiny key set → floor
-        bm, words = dims(10)
-        assert bm == joins.BLOOM_BITS_MIN and words == bm // 64
-        # mid-size → data-driven: 8 bits/key, whole words
-        n = 40_000
-        bm, words = dims(n)
-        assert bm >= n * joins.BLOOM_BITS_PER_KEY
-        assert bm % 64 == 0 and words == bm // 64
-        assert bm < joins.BLOOM_BITS_MAX
-
+    # (clamp/word-rounding dimensions are covered by TestBloomPrefilter.
+    # test_bitmap_sizes_with_key_count_and_is_bounded)
     def test_empty_key_set_filters_everything(self, spark, sf_dir):
         from datums_warehouse_spark.operators import joins
 
