@@ -928,3 +928,70 @@ def l31_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hits").alias("total_hits"),
         F.sum(F.col("chars_before") - F.col("chars_after")).alias("chars_removed"),
     )
+
+
+# --- L32: corpus-frequency fluency score ------------------------------------
+
+
+@query(
+    "l32_bigram_fluency",
+    oracle="""
+        WITH doc_bg AS (
+            SELECT source, unnest(list_transform(
+                range(len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i + 1] || ' '
+                     || string_split(text, ' ')[i + 2]
+            )) AS bigram
+            FROM documents
+        ),
+        counts AS (SELECT bigram, count(*) AS freq FROM doc_bg GROUP BY bigram)
+        SELECT d.source,
+               CAST(sum(c.freq) AS BIGINT) AS freq_sum,
+               count(*) AS n_bigrams,
+               CAST(sum(c.freq) AS DOUBLE) / count(*) AS avg_freq
+        FROM doc_bg d JOIN counts c USING (bigram)
+        GROUP BY d.source
+    """,
+    tags=("L32", "scale"),
+)
+def l32_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency fluency scoring — the integer-exact cousin of a
+    KenLM-style perplexity filter: score text by how common its bigrams
+    are in the corpus itself (rare-bigram-heavy text is boilerplate,
+    mojibake, or noise), rolled up per source as the signal a quality
+    gate thresholds on. All arithmetic before the single final division
+    is INTEGER (counts and count sums), so the result is bit-stable
+    cross-engine with no transcendental-function (log) portability
+    hazard — the reason this formulation is hash-graded where a true
+    log-prob LM score could round differently per libm.
+
+    Scale shape: one explode over the token stream, one hash aggregate
+    for the corpus bigram table, one shuffle equi-join of the bigram
+    stream against it (self-join on the bigram key — heavy-hitter
+    bigrams are exactly what AQE's skew split handles), and a map-side
+    per-source rollup. At 100 TB the bigram table is the only state and
+    it shards by key; nothing is driver-side.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    bigram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    doc_bg = d.select(
+        "source", F.split("text", " ").alias("toks")
+    ).select("source", F.explode(bigram).alias("bigram"))
+    counts = doc_bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        doc_bg.join(counts, "bigram")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("freq_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .withColumn(
+            "avg_freq", F.col("freq_sum").cast("double") / F.col("n_bigrams")
+        )
+    )
