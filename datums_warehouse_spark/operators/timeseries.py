@@ -360,6 +360,139 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j9b_asof_nearest",
+    oracle="""
+        WITH ev AS (
+            -- µs truncation: Spark reads the NANOS parquet at µs
+            SELECT event_id, user_id, event_type, value,
+                   CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, ts, arg_max(value, event_id) AS cvalue
+            FROM ev WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        tagged AS (
+            SELECT user_id, ts, 0 AS side, cvalue,
+                   NULL::BIGINT AS event_id, NULL::DOUBLE AS value
+            FROM clicks
+            UNION ALL
+            SELECT user_id, ts, 1, NULL, event_id, value
+            FROM ev WHERE event_type = 'purchase'
+        ),
+        carried AS (
+            SELECT user_id, ts, side, event_id, value,
+                   last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                       OVER wb AS prev_ts,
+                   last_value(CASE WHEN side = 0 THEN cvalue END IGNORE NULLS)
+                       OVER wb AS prev_value,
+                   first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                       OVER wf AS next_ts,
+                   first_value(CASE WHEN side = 0 THEN cvalue END IGNORE NULLS)
+                       OVER wf AS next_value
+            FROM tagged
+            WINDOW
+              wb AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wf AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN next_ts IS NULL THEN prev_ts
+                    WHEN prev_ts IS NULL THEN next_ts
+                    WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+                    ELSE next_ts END AS nearest_click_ts,
+               CASE WHEN next_ts IS NULL THEN prev_value
+                    WHEN prev_ts IS NULL THEN next_value
+                    WHEN ts - prev_ts <= next_ts - ts THEN prev_value
+                    ELSE next_value END AS nearest_click_value
+        FROM carried WHERE side = 1
+    """,
+    tags=("J9", "scale"),
+)
+def j9b_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — the bidirectional complement of j9's
+    backward-only semantics (pandas ``merge_asof(direction='nearest')``):
+    each purchase matches the user's click closest in time in EITHER
+    direction, ties to the earlier click (so exact-ts matches behave like
+    j9). The sensor-fusion / quote-matching shape where the reading just
+    AFTER can be closer than the one before.
+
+    Same scalable construction as j9 — union-tag + keyed window scan,
+    ONE shuffle on the join key — plus a second, mirror-frame window
+    (first_value over CURRENT ROW→FOLLOWING) on the same sort and
+    partitioning, so Spark evaluates both carries in a single WindowExec
+    pass: no second shuffle, no range explosion. The nearest pick is then
+    row-local µs integer arithmetic. Same-ts clicks sort before the
+    purchase (side 0 < 1), landing in the backward carry at distance 0,
+    which the tie rule prefers — identical cross-engine.
+    """
+    e = events_us(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("cvalue"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "cvalue",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("cvalue"),
+        "event_id",
+        "value",
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    click_val = F.when(F.col("side") == 0, F.col("cvalue"))
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        "value",
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last(click_val, ignorenulls=True).over(wb).alias("prev_value"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.first(click_val, ignorenulls=True).over(wf).alias("next_value"),
+    )
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    prefer_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (d_prev <= d_next)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(prefer_prev, F.col("prev_ts")).otherwise(F.col("next_ts")).alias(
+            "nearest_click_ts"
+        ),
+        F.when(prefer_prev, F.col("prev_value"))
+        .otherwise(F.col("next_value"))
+        .alias("nearest_click_value"),
+    )
+
+
+@query(
     "s5_incremental_since",
     oracle="""
         SELECT event_type, count(*) AS n_new, max(ts) AS newest

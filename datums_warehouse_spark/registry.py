@@ -158,13 +158,14 @@ _GRADE_FRONT = (
     "o7_hash_sample",
     "d6_arrow_udf",
     "l32_bigram_fluency",
+    "j9b_asof_nearest",
     # refresh slots: the ledger's oldest evidence (r01-era rows) — fills
     # the window to exactly GRADE_WINDOW with deterministic membership
     "p1_project_compute", "p2_filter_comparison", "p3_filter_time_range",
     "p4_filter_in_list", "p5_filter_like_regex", "p6_filter_nulls",
     "p7_compound_predicates",
     "j1_broadcast_dim_join", "j2_shuffle_fact_join", "j3_star_join",
-    "j4_left_outer_custdist", "j4_full_outer_daily", "j5_semi_join",
+    "j4_left_outer_custdist", "j4_full_outer_daily",
 )
 
 

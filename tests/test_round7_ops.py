@@ -369,3 +369,37 @@ class TestIntervalBucketJoin:
         }
         assert got == naive
         assert sum(got.values()) > 0  # non-trivial fixture
+
+
+class TestAsofNearest:
+    def test_nearest_never_farther_than_backward(self, spark, sf_dir):
+        """For every purchase that j9 matches backward, the nearest match
+        must be at distance <= the backward distance, and exact-ts /
+        equidistant cases must resolve to the backward click."""
+        from datums_warehouse_spark.operators import timeseries
+
+        back = {
+            r["event_id"]: r["last_click_ts"]
+            for r in timeseries.j9_asof_join(spark, sf_dir).collect()
+        }
+        near = {
+            r["event_id"]: r["nearest_click_ts"]
+            for r in timeseries.j9b_asof_nearest(spark, sf_dir).collect()
+        }
+        rows = {
+            r["event_id"]: r["ts"]
+            for r in timeseries.j9_asof_join(spark, sf_dir).collect()
+        }
+        assert set(back) == set(near)
+        closer = 0
+        for eid, bts in back.items():
+            nts = near[eid]
+            if bts is None:
+                continue  # nearest may still find a forward click
+            assert nts is not None
+            d_b = abs((rows[eid] - bts).total_seconds())
+            d_n = abs((rows[eid] - nts).total_seconds())
+            assert d_n <= d_b
+            if d_n < d_b:
+                closer += 1
+        assert closer > 0  # the forward direction genuinely fires
