@@ -100,6 +100,10 @@ QUERIES = [
     # grow with replication, session KEYS don't — copies are µs-nudged)
     "l31_blocklist_scrub",
     "j13_interval_bucket_join",
+    # closing-round additions: the bigram-table self-join fluency score
+    # and the dual-carry nearest as-of window
+    "l32_bigram_fluency",
+    "j9b_asof_nearest",
 ]
 # Per-query oracle ceiling: above this multiplier the DuckDB side of the
 # recursive/quadratic constructions explodes, but AT/below it the oracle
