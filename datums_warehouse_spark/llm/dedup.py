@@ -827,14 +827,17 @@ def l29_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually SHIPS a deduped training corpus; the earlier L-queries grade
     its ingredients.
 
-    Scale shape: the drop list is |non-canonical members| — a small
-    fraction of the corpus by construction — so the final pass is one
-    full scan left-anti-shaped against a compact key set (here a left
-    join + null test so before/after come from the same aggregate), after
-    the bucketed LSH pipeline whose scaling STRESS.md measures. To write
-    the corpus itself, replace the aggregate with
-    ``d.join(drop, "doc_id", "left_anti").write`` — same plan minus the
-    rollup.
+    Scale shape: the drop set is |non-canonical members| and on a heavily
+    duplicated crawl that can be a LARGE fraction of the corpus, so no
+    broadcast hint is forced — the join keys on doc_id and AQE picks
+    broadcast when the built drop side is actually small, falling back to
+    a shuffle join when it isn't (r07 ADVICE: a forced broadcast made the
+    build side unbounded at 100 TB). The final pass stays one full scan
+    against the drop keys (a left join + null test so before/after come
+    from the same aggregate), after the bucketed LSH pipeline whose
+    scaling STRESS.md measures. To write the corpus itself, replace the
+    aggregate with ``d.join(drop, "doc_id", "left_anti").write`` — same
+    plan minus the rollup.
     """
     clusters = l2_dedup_clusters(spark, sf_dir)
     dropped = clusters.filter(~F.col("keep")).select("doc_id", F.lit(True).alias("dr"))
@@ -842,7 +845,7 @@ def l29_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.split("text", " ")).cast("long")
     survives = F.col("dr").isNull()
     return (
-        d.join(F.broadcast(dropped), "doc_id", "left")
+        d.join(dropped, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_before"),

@@ -210,11 +210,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(stream)
 
 
-@query("t4_watermark_stream", tags=("T4", "eager"))
+@query(
+    "t4_watermark_stream",
+    oracle="""
+        WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        agg AS (
+            SELECT event_type AS series,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT series, bucket, n FROM agg CROSS JOIN mx
+        WHERE bucket + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+    tags=("T4", "eager"),
+)
 def t4_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming run: watermarked hourly counts per
-    series, availableNow trigger, in-memory sink (rows-only — the
-    watermark drop policy has no batch-SQL equivalent).
+    series, availableNow trigger, in-memory sink.
+
+    Hash-graded (r07 VERDICT item 7): append mode emits exactly the
+    FINALIZED buckets — windows whose end has passed the final watermark
+    (max event time − 2 h), flushed by availableNow's closing no-data
+    batch. That subset IS deterministic and SQL-expressible, so the
+    oracle selects hourly counts with ``bucket_end <= max(ts) − 2h``;
+    the live (unemitted) tail buckets are excluded on both engines.
 
     The watermark bounds state: buckets older than 2h past the max event
     time are finalized and evicted — the knob that keeps 100 TB streams at

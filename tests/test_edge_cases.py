@@ -302,3 +302,31 @@ def test_sq_ann_constant_dimension_quantizes_to_zero(spark, monkeypatch):
     q0 = sorted((r.rn, r.neighbor_id, r.score) for r in rows if r.query_id == 0)
     assert [s for _, _, s in q0] == [0] * 5
     assert [n for _, n, _ in q0] == [1, 2, 3, 4, 5]
+
+
+def test_bigrams_short_and_empty_docs_survive(spark, monkeypatch):
+    """l7/l32 on docs with <2 whitespace tokens must yield NO bigrams, not
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT: sequence(0, size-2) DESCENDS when
+    size < 2 and element_at(toks, 0) throws (ADVICE r7, medium). Empty text
+    splits to [''] (size 1) — the real-corpus case the graded fixtures'
+    10-token floor hid."""
+    import datums_warehouse_spark.llm.text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "", "en", "web"),
+            (2, "solo", "en", "web"),
+            (3, "two tokens", "en", "web"),
+            (4, "a b c", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(TX, "load", lambda s, d, n: df)
+
+    bg = {r.bigram: r.n for r in TX.l7_bigrams(spark, "x").collect()}
+    assert bg == {"two tokens": 1, "a b": 1, "b c": 1}
+
+    flu = {r.source: r for r in TX.l32_bigram_fluency(spark, "x").collect()}
+    # docs 1 and 2 contribute no bigrams; doc 3 has one, doc 4 has two
+    assert set(flu) == {"web", "books"}
+    assert flu["web"].n_bigrams == 1 and flu["books"].n_bigrams == 2

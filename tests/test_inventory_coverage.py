@@ -14,18 +14,18 @@ from datums_warehouse_spark import all_queries
 # T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
 # the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 14)]         # scans/sinks/connectors/compaction/vacuum
+    [f"s{i}" for i in range(1, 15)]         # scans/sinks/connectors/compaction/vacuum/diff
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
-    + [f"j{i}" for i in range(1, 13)]       # joins (J11 salted skew, J12 bloom)
+    + [f"j{i}" for i in range(1, 14)]       # joins (J11 salted, J12 bloom, J13 interval)
     + [f"a{i}" for i in range(1, 12)]       # aggregations
     + [f"w{i}" for i in range(1, 10)]       # windows
-    + [f"o{i}" for i in range(1, 7)]        # sort / limit / top-k / sample / zorder
+    + [f"o{i}" for i in range(1, 8)]        # sort / limit / top-k / sample / zorder / hash-sample
     + [f"u{i}" for i in range(1, 6)]        # set ops (incl. EXCEPT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
-    + [f"t{i}" for i in range(1, 12)]       # streaming
+    + [f"t{i}" for i in range(1, 13)]       # streaming (incl. T12 stream-static join)
     + [f"x{i}" for i in range(1, 10)]       # time-series specials
-    + [f"l{i}" for i in range(1, 30)]       # LLM pipeline (incl. additions)
-    + [f"d{i}" for i in range(1, 6)]        # UDF surface
+    + [f"l{i}" for i in range(1, 34)]       # LLM pipeline (incl. L30-L33 additions)
+    + [f"d{i}" for i in range(1, 7)]        # UDF surface (incl. D6 arrow UDF)
 )
 
 
@@ -128,7 +128,6 @@ def test_sql_expressible_rows_have_oracles():
     allowed_rows_only = {
         "a4_approx_count_distinct",  # HLL sketch ≠ DuckDB's
         "l3_lsh_ann",                # MLlib model hashing
-        "t4_watermark_stream",       # watermark drop policy, genuine stream
         "t6_stateful_stream",        # applyInPandasWithState, genuine stream
         "t7_stream_sink",            # genuine stream sink
         "t8_stream_stream_join",     # genuine two-stream join run
