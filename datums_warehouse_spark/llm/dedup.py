@@ -359,13 +359,13 @@ def l2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision step of a dedup pipeline (cluster_id = smallest doc_id in the
     component; that doc is the canonical survivor, ``keep`` marks it).
 
-    Each round is one join + one min-aggregate (both shuffle on doc_id);
-    rounds needed = component diameter, and near-dup components are tiny
-    (dup clusters, not a social graph), so 2-4 rounds in practice. At
-    100 TB the same loop runs with alternating large-star/small-star
-    contraction (O(log n) rounds guaranteed) and a lineage checkpoint per
-    round — here ``localCheckpoint`` already truncates the growing plan.
-    The oracle replays it as a recursive reachability CTE.
+    Each round is a neighbor-min join plus a pointer jump (label ←
+    label[label]), so rounds are O(log diameter) — the same guarantee as
+    public large-star/small-star contraction — and near-dup components
+    are tiny anyway (dup clusters, not a social graph): 2-3 rounds in
+    practice, ~10 even for a 1000-link chain. ``localCheckpoint``
+    truncates the growing plan per round. The oracle replays it as a
+    recursive reachability CTE.
     """
     pairs = l2_minhash_lsh_pairs(spark, sf_dir)
     edges = (
@@ -385,10 +385,22 @@ def min_label_propagation(
     spark: SparkSession, edges: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
     """Connected components over a symmetric ``(u, v)`` edge table via
-    iterative min-label propagation; returns ``(u, label)`` with label =
-    min vertex id of the component. Rounds needed = graph diameter — capped
-    at ``max_rounds`` so a pathological chain fails loudly instead of
-    looping unbounded on the driver."""
+    min-label propagation WITH pointer jumping; returns ``(u, label)``
+    with label = min vertex id of the component.
+
+    Each round does (1) neighbor propagation — every vertex takes the min
+    of its own and its neighbors' labels — and (2) a pointer jump,
+    ``label ← label[label]``, which halves chain depth like the public
+    large-star/small-star alternation (Kiveris et al. 2014): rounds are
+    O(log diameter), not O(diameter), so a pathological chain-shaped
+    duplicate cluster (the r07 VERDICT worst case) converges in ~10
+    rounds at diameter 1000 instead of hitting the cap. Fixpoint proof
+    sketch: labels only decrease and are always component-internal vertex
+    ids; at a fixpoint L(u) = min(L(u), L(v), L(L(u))) over every edge
+    (u,v) forces L constant per component with L(c) = c, and the only
+    self-labeled vertex a monotone-decreasing label can settle on is the
+    component min. ``max_rounds`` stays as a loud safety cap (now only
+    reachable past diameter ~2^rounds)."""
     from datums_warehouse_spark.session import scoped_shuffle_partitions
 
     # Size-aware clamp: each round shuffles the edge table, so partition
@@ -410,10 +422,25 @@ def min_label_propagation(
             neigh = edges.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"
             ).select("u", "label")
+            stepped = (
+                labels.unionByName(neigh)
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jump: label ← label[label]. Every label value is a
+            # vertex id that owns a row in ``stepped`` (labels start as
+            # self-ids and min-propagation only moves existing ids), so
+            # the inner self-join is total.
+            jump = stepped.join(
+                stepped.select(
+                    F.col("u").alias("label"), F.col("label").alias("jumped")
+                ),
+                "label",
+            ).select("u", F.col("jumped").alias("label"))
             # lazy checkpoint: the convergence aggregate right below is the
             # action that materializes it — one job per round, not two
             labels = (
-                labels.unionByName(neigh)
+                stepped.unionByName(jump)
                 .groupBy("u")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=False)
@@ -851,5 +878,181 @@ def l29_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs_before"),
             F.count(F.when(survives, 1)).alias("n_docs_after"),
             F.sum(F.when(survives, n_tok)).alias("tokens_after"),
+        )
+    )
+
+
+# --- L33: substring-level duplicated-passage detection & removal -------------
+#
+# L1 drops whole-document duplicates and L2 drops near-duplicate documents;
+# neither touches the standard crawl-curation case of REPEATED SPANS shared
+# across otherwise-distinct documents (boilerplate headers, license blocks,
+# syndicated paragraphs). The public method (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better") finds substrings of >= N
+# tokens that occur more than once in the corpus; this is its shingle-
+# inverted-index formulation: a position is duplicated iff the W-token gram
+# starting there also occurs in ANOTHER document, and maximal runs of
+# duplicated positions merge into passages (gaps-and-islands).
+
+PASSAGE_W = 10  # minimum duplicated span, in tokens (Lee et al. use 50 BPE)
+
+_SQL_PW = PASSAGE_W
+SQL_PASSAGE_CTES = f"""
+    ppos AS (
+        SELECT doc_id,
+               unnest(range(greatest(len({_SQL_TOKS}) - {_SQL_PW - 1}, 0))) AS pos,
+               text
+        FROM documents
+    ),
+    pgrams AS (
+        SELECT doc_id, pos,
+               {sql_hash48(
+                   f"array_to_string(list_slice({_SQL_TOKS}, pos + 1, pos + {_SQL_PW}), ' ')"
+               )} AS h
+        FROM ppos
+    ),
+    pshared AS (
+        SELECT h, count(DISTINCT doc_id) AS ndocs
+        FROM pgrams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    pdup AS (SELECT doc_id, pos, ndocs FROM pgrams JOIN pshared USING (h)),
+    pbrk AS (
+        SELECT doc_id, pos, ndocs,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > {_SQL_PW} THEN 1 ELSE 0 END AS b
+        FROM pdup
+    ),
+    pisl AS (
+        SELECT doc_id, pos, ndocs,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM pbrk
+    ),
+    pspans AS (
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {_SQL_PW} - min(pos) AS BIGINT) AS span_len,
+               CAST(max(ndocs) - 1 AS BIGINT) AS n_sharers
+        FROM pisl GROUP BY doc_id, island
+    )
+"""
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated passages: (doc_id, span_start, span_len, n_sharers).
+
+    Scale shape: positional W-gram hashing is a per-row projection (the
+    gram string never leaves its row — only 8-byte hashes shuffle); the
+    inverted index is one hash aggregate keyed by gram (bounded by corpus
+    token count; hot boilerplate grams are single index rows, so the
+    probe join fans out 1:1 per position, never quadratically); the
+    island merge runs under Window.partitionBy(doc_id) — every window
+    scan local to its document's shuffle partition. Linear in corpus
+    volume end to end.
+    """
+    from pyspark.sql import Window
+
+    W = PASSAGE_W
+    d = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    npos = F.greatest(F.size(toks) - (W - 1), F.lit(0))
+    gram = F.transform(
+        F.sequence(F.lit(0), npos - 1),
+        lambda i: hash48(F.concat_ws(" ", F.slice(toks, i + 1, W))),
+    )
+    # guard: npos == 0 would make sequence(0, -1) DESCEND (same hazard as
+    # bigrams_of); emit no positions for docs shorter than W tokens
+    grams_arr = F.when(npos >= 1, gram).otherwise(F.array().cast("array<long>"))
+    g = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.posexplode(grams_arr).alias("pos", "h")
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+    )
+    dup = g.join(shared, "h").select("doc_id", "pos", "ndocs")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wo) > W, 1).otherwise(0)
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        "ndocs",
+        F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + W - F.min("pos")).cast("long").alias("span_len"),
+        (F.max("ndocs") - 1).cast("long").alias("n_sharers"),
+    ).drop("island")
+
+
+@query(
+    "l33_dup_passages",
+    oracle=f"""
+        WITH {SQL_PASSAGE_CTES}
+        SELECT doc_id, span_start, span_len, n_sharers FROM pspans
+    """,
+    tags=("L33", "scale"),
+)
+def l33_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicated passages (Lee et al. 2022 shape): every
+    maximal run of corpus positions whose {PASSAGE_W}-token gram also
+    occurs in another document, as (doc_id, span_start, span_len,
+    n_sharers). n_sharers is the largest number of OTHER documents sharing
+    any gram in the span. All-integer output — bit-stable cross-engine.
+    """
+    return _dup_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_len", "n_sharers"
+    )
+
+
+@query(
+    "l33_passage_scrub",
+    oracle=f"""
+        WITH {SQL_PASSAGE_CTES},
+        perdoc AS (
+            SELECT doc_id, sum(span_len) AS dup_tokens FROM pspans GROUP BY doc_id
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               count(p.doc_id) AS docs_touched,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_total,
+               CAST(coalesce(sum(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+               CAST(sum(len(string_split(d.text, ' ')))
+                    - coalesce(sum(p.dup_tokens), 0) AS BIGINT) AS tokens_after
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY d.source
+    """,
+    tags=("L33", "scale"),
+)
+def l33_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage removal audit, per source: documents touched and
+    token volume before/after cutting every duplicated span (the corpus a
+    passage-level scrubber would ship). Integer-exact like l31's audit:
+    counts and token sums only, no floats, so the rollup hash-grades.
+
+    Scale shape: _dup_spans' linear pipeline, one per-doc rollup of span
+    lengths (spans are disjoint by construction, so the sum IS the cut
+    volume), then a doc_id-keyed left join back to the corpus scan and a
+    per-source hash aggregate. No broadcast hint on the span side — on a
+    boilerplate-heavy crawl most documents carry spans (l29's lesson).
+    """
+    spans = _dup_spans(spark, sf_dir)
+    perdoc = spans.groupBy("doc_id").agg(F.sum("span_len").alias("dup_tokens"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    return (
+        d.join(perdoc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dup_tokens").alias("docs_touched"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (F.sum("n_tok") - F.coalesce(F.sum("dup_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_after"),
         )
     )

@@ -244,9 +244,26 @@ def test_label_propagation_chain_converges(spark):
     assert labels == {i: 1 for i in range(1, 8)}
 
 
+def test_label_propagation_1000_link_chain_in_log_rounds(spark):
+    """The r07 VERDICT pathological case: a 1,000-link chain (diameter
+    1000) must converge under the default 50-round cap — pointer jumping
+    makes rounds O(log diameter), so ~10-12 rounds suffice where pure
+    neighbor propagation needed 1000 and raised."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    chain = [(i, i + 1) for i in range(1, 1001)]
+    edges = spark.createDataFrame(
+        chain + [(v, u) for u, v in chain], "u long, v long"
+    )
+    out = DD.min_label_propagation(spark, edges, max_rounds=15).collect()
+    assert len(out) == 1001
+    assert all(r.label == 1 for r in out)
+
+
 def test_label_propagation_round_cap_raises(spark):
-    """A chain whose diameter exceeds max_rounds must raise, not loop
-    unbounded on the driver."""
+    """A graph needing more than max_rounds must raise, not loop unbounded
+    on the driver — with pointer jumping a diameter-9 chain still needs
+    ≥ 2 rounds plus a confirming fixpoint round, so cap at 1."""
     import datums_warehouse_spark.llm.dedup as DD
 
     chain = [(i, i + 1) for i in range(1, 10)]
@@ -254,7 +271,7 @@ def test_label_propagation_round_cap_raises(spark):
         chain + [(v, u) for u, v in chain], "u long, v long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.min_label_propagation(spark, edges, max_rounds=3)
+        DD.min_label_propagation(spark, edges, max_rounds=1)
 
 
 def test_warehouse_merge_empty_updates_is_noop(spark, sf_dir, wh_tmp):
