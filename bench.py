@@ -45,6 +45,11 @@ HEADLINE = [
     "l27_token_budget_pick",     # budgeted pick via range-sharded cumsum
     # late-round-7 addition
     "j13_interval_bucket_join",  # bucketed large×large interval join
+    # round-8 additions (VERDICT r07 task 8): the most expensive graded
+    # family — end-to-end LSH dedup clustering (regressions there were
+    # invisible to BENCH) — and the new duplicated-passage detector
+    "l2_dedup_clusters",         # LSH pairs → connected components
+    "l33_dup_passages",          # substring-level duplicated passages
 ]
 
 
@@ -59,7 +64,7 @@ def main() -> None:
     # sensitive iterative or sessionization shapes) get extra passes so the
     # published median is stable round over round (VERDICT r05 §perf). A
     # sub-3 repeats setting is a smoke run — don't inflate it.
-    noisy = {"l2_minhash_lsh_pairs", "t3_session_window"}
+    noisy = {"l2_minhash_lsh_pairs", "t3_session_window", "l2_dedup_clusters"}
     noisy_repeats = (
         int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS_NOISY", "5"))
         if repeats >= 3

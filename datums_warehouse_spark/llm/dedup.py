@@ -901,13 +901,13 @@ SQL_PASSAGE_CTES = f"""
     ppos AS (
         SELECT doc_id,
                unnest(range(greatest(len({_SQL_TOKS}) - {_SQL_PW - 1}, 0))) AS pos,
-               text
+               {_SQL_TOKS} AS tk
         FROM documents
     ),
     pgrams AS (
         SELECT doc_id, pos,
                {sql_hash48(
-                   f"array_to_string(list_slice({_SQL_TOKS}, pos + 1, pos + {_SQL_PW}), ' ')"
+                   f"array_to_string(list_slice(tk, pos + 1, pos + {_SQL_PW}), ' ')"
                )} AS h
         FROM ppos
     ),
