@@ -104,14 +104,8 @@ _GRADE_FRONT_R06 = (
     "w9_distribution_ranks", "t10_session_stream", "s9_retention_ttl",
 )
 
-# Round-7 rotation, ACTIVE: the two keys that didn't fit the round-6
-# window (GRADED.md) plus the four subquery-heavy TPC-H shapes added in
-# round 6 (comp19-22, registered after the r06 window was frozen). With
-# CORRECTNESS_r06 landed (45/45 oracle-green, 5 rows-only streams), this
-# round grades the final 17 never-graded keys — then every registered
-# query has a driver row across r01-r07. The remaining 33 window slots
-# fill in module-registration order (re-grading the earliest operators).
-_GRADE_FRONT = (
+# Round-7 rotation (was ACTIVE in r07; kept as the ledger of that window).
+_GRADE_FRONT_R07 = (
     "o5_table_sample",
     "o5_stratified_sample",
     "comp19_min_cost_supplier",
@@ -166,6 +160,43 @@ _GRADE_FRONT = (
     "p7_compound_predicates",
     "j1_broadcast_dim_join", "j2_shuffle_fact_join", "j3_star_join",
     "j4_left_outer_custdist", "j4_full_outer_daily",
+)
+
+# Round-8 rotation, ACTIVE: freshness (VERDICT r07 task 1). Leads with the
+# two never-graded L33 keys and the five keys whose code or oracle changed
+# AFTER their latest driver row landed (t4 promoted from rows-only to a
+# full DuckDB oracle on the finalized-buckets subset; x7 rewritten onto a
+# partitioned N-pair window; l2_dedup_clusters onto O(log d) pointer
+# jumping; l29's forced broadcast dropped; l32's short-doc guard), then
+# the stalest cohort of the ledger: u3/u4 (last green r01) and all 35
+# r04-era keys — every one predating the round-6/7 NTZ/UTC hardening that
+# touched their modules — and the six oldest r05 keys. The remaining
+# r05/r06 refreshes rotate in r09/r10. New round-8 operators take slots
+# from the tail refreshes as they land (r07's pattern).
+_GRADE_FRONT = (
+    # never graded
+    "l33_dup_passages", "l33_passage_scrub",
+    # changed after their latest driver row
+    "t4_watermark_stream", "x7_rolling_corr", "l2_dedup_clusters",
+    "l29_dedup_materialize", "l32_bigram_fluency",
+    # r01-era evidence
+    "u3_intersect", "u4_except",
+    # r04-era evidence (all 35)
+    "a8_candles_1h", "t1_candles_1d_tumbling", "x1_resample_1h_to_1d",
+    "a8_candles_vwap", "p8_table_profile",
+    "j5_semi_join", "j6_anti_join", "j7_cross_join", "j8_range_join",
+    "j10_self_join_funnel",
+    "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
+    "a4_approx_count_distinct", "a5_rollup", "a5_cube", "a6_having",
+    "a7_distinct", "a9_pivot", "a10_stats", "a11_collect_list",
+    "a5_grouping_sets", "a1_salted_two_stage",
+    "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
+    "w7_topk_per_group", "w8_sliding_distinct_users",
+    "o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o4_topk",
+    "u1_union_all", "u2_union_distinct",
+    # oldest r05-era evidence (the rest rotate in r09)
+    "a8_candles_15m", "w2_lag_lead", "w5_range_frame",
+    "s1_parquet_scan", "j9_asof_join", "x2_gap_detection",
 )
 
 
