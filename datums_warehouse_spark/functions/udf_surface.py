@@ -261,3 +261,53 @@ def d6_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", tag("o_orderpriority", "o_orderkey").alias("tag")
     )
+
+
+@query(
+    "d7_map_in_arrow",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+    """,
+    tags=("D7",),
+)
+def d7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` (D7): the zero-copy escape hatch below D2's pandas
+    UDFs — the Python function receives raw ``pyarrow.RecordBatch``es and
+    yields RecordBatches, skipping even the Arrow→pandas conversion, the
+    right surface for columnar libraries that speak Arrow natively
+    (vector math, tokenizers, Arrow-native codecs).
+
+    The per-row math (net price) is pure IEEE double arithmetic computed
+    by ``pyarrow.compute`` kernels, bit-identical to the oracle's, so this
+    escape hatch is hash-graded like the rest of the D surface. The filter
+    stays OUTSIDE the Arrow function as a real DataFrame predicate — it
+    reaches the parquet scan (PushedFilters), which a filter buried inside
+    the UDF never could; the Arrow stage sees only surviving batches.
+
+    Scale: batches stream through Python workers with Arrow's O(columns)
+    serialization; no pickling, no row loop, no driver involvement.
+    """
+
+    def net_of(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            net = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net"],
+            )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(net_of, "l_orderkey bigint, l_linenumber int, net double")

@@ -1001,3 +1001,217 @@ def l32_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_freq", F.col("freq_sum").cast("double") / F.col("n_bigrams")
         )
     )
+
+
+# --- L34: vocabulary build + OOV rate ----------------------------------------
+
+VOCAB_K = 20  # top-K corpus tokens form the vocabulary
+
+
+@query(
+    "l34_vocab_oov",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ) GROUP BY tok ORDER BY count(*) DESC, tok LIMIT {VOCAB_K}
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+               CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                   / count(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id
+    """,
+    tags=("L34",),
+)
+def l34_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + per-document out-of-vocabulary rate: the tokenizer
+    -coverage check a training pipeline runs before committing to a vocab —
+    documents with high OOV against the candidate vocabulary either get a
+    bigger vocab or get dropped.
+
+    Vocabulary = top-K tokens by corpus frequency with a lexicographic
+    tie-break (deterministic under ties, unlike a bare LIMIT over equal
+    counts). Scale shape: one token explode reduced immediately into a hash
+    aggregate (map-side combine), a top-K over |vocab| rows — bounded by
+    distinct-token count, NOT corpus size, so the sort input is tiny — and
+    one BROADCAST left join of the token stream against the K-row vocab;
+    the corpus-sized stream is never shuffled a second time. All counts
+    integer; the single final division is the only double.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TOKS()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+# --- L35: curation funnel — staged attrition report --------------------------
+
+# Corpus-calibrated gate thresholds (the synthetic vocabulary has only two
+# EN stopwords and near-zero trigram repetition, so the published-paper
+# defaults — stop_ratio ≥ 0.15, quality ≥ 0.5, rep ≤ 0.2 — would kill 97%
+# at stage 1 and make the later stages vacuous; a funnel report is only
+# informative when each gate acts). The FORMULAS are l11/l12/l20's.
+FUNNEL_LANG_MIN = 0.02
+FUNNEL_QUALITY_MIN = 0.32
+FUNNEL_REP_MAX = 0.005
+
+_SQL_FUNNEL_STAGE_NAME = """
+    CASE stage WHEN 0 THEN '00_ingest' WHEN 1 THEN '10_langid'
+               WHEN 2 THEN '20_quality' WHEN 3 THEN '30_repetition'
+               ELSE '40_exact_dedup' END
+"""
+
+
+@query(
+    "l35_curation_funnel",
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tok,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN {EN_STOPWORDS!r})) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio,
+                   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+                       * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' '))) AS quality,
+                   list_transform(
+                       range(len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2] || ' ' ||
+                            string_split(text, ' ')[i + 3]
+                   ) AS tg
+            FROM documents
+        ),
+        flags AS (
+            SELECT doc_id, text, n_tok,
+                   stop_ratio >= {FUNNEL_LANG_MIN} AS s1,
+                   stop_ratio >= {FUNNEL_LANG_MIN} AND quality >= {FUNNEL_QUALITY_MIN} AS s2,
+                   stop_ratio >= {FUNNEL_LANG_MIN} AND quality >= {FUNNEL_QUALITY_MIN}
+                       AND (len(tg) = 0 OR
+                            (len(tg) - len(list_distinct(tg)))
+                                / CAST(len(tg) AS DOUBLE) <= {FUNNEL_REP_MAX}) AS s3
+            FROM feat
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY (NOT s3), doc_id
+                   ) AS rn
+            FROM flags
+        ),
+        lvl AS (
+            SELECT doc_id, n_tok,
+                   CAST(s1 AS INT) + CAST(s2 AS INT) + CAST(s3 AS INT)
+                       + CAST(s3 AND rn = 1 AS INT) AS lvl
+            FROM ranked
+        )
+        SELECT stage,
+               {_SQL_FUNNEL_STAGE_NAME} AS stage_name,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, n_tok, unnest(range(lvl + 1)) AS stage FROM lvl)
+        GROUP BY stage
+    """,
+    tags=("L35",),
+)
+def l35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: the staged attrition report every training-data
+    pipeline publishes — docs and tokens surviving each gate in sequence:
+    ingest → language-ID (l11's stopword-ratio predicate) → quality floor
+    (l12's length×diversity score) → intra-doc repetition (l20's trigram
+    rep_frac) → exact dedup (l1's lowest-doc_id-per-content-hash rule,
+    applied among the docs still alive at that stage).
+
+    Scale shape: every per-doc feature (stop ratio, quality, trigram
+    repetition) is ONE codegen projection over the corpus scan — no joins,
+    no shuffles; the only shuffle is the dedup window keyed by the 128-bit
+    content hash (uniform by construction); the funnel rollup explodes
+    each doc into ≤5 (stage) rows and hash-aggregates immediately, so the
+    output is |stages| rows regardless of corpus size. Survivor rank
+    orders non-survivors last (``(NOT s3), doc_id``) so the canonical doc
+    per hash is the lowest-id STILL-ALIVE one — identical frame in the
+    oracle.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = TOKS()
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).cast("double") / n_tok
+    )
+    quality = F.least(n_tok.cast("double") / 50, F.lit(1.0)) * (
+        F.size(F.array_distinct(toks)).cast("double") / n_tok
+    )
+    tg_raw = F.transform(
+        F.sequence(F.lit(0), n_tok - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    # short-doc guard: sequence(0, -k) counts DOWN in Spark (l32's class)
+    tg = F.when(n_tok >= 3, tg_raw).otherwise(F.array().cast("array<string>"))
+    rep_ok = (F.size(tg) == 0) | (
+        (F.size(tg) - F.size(F.array_distinct(tg))).cast("double") / F.size(tg) <= FUNNEL_REP_MAX
+    )
+    s1 = stop_ratio >= FUNNEL_LANG_MIN
+    s2 = s1 & (quality >= FUNNEL_QUALITY_MIN)
+    flags = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.md5("text").alias("content_hash"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        (s2 & rep_ok).alias("s3"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(~F.col("s3"), "doc_id")
+    lvl = (
+        F.col("s1").cast("int")
+        + F.col("s2").cast("int")
+        + F.col("s3").cast("int")
+        + (F.col("s3") & (F.row_number().over(w) == 1)).cast("int")
+    )
+    return (
+        flags.withColumn("lvl", lvl)
+        .select(
+            "doc_id", "n_tok", F.explode(F.sequence(F.lit(0), F.col("lvl"))).alias("stage")
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "stage",
+            F.expr(_SQL_FUNNEL_STAGE_NAME).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

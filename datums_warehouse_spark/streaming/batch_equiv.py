@@ -542,3 +542,54 @@ def t12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
     return spark.table(name)
+
+
+@query(
+    "t13_stream_dedup_watermark",
+    oracle="""
+        SELECT DISTINCT user_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+        FROM events
+    """,
+    tags=("T13", "stream", "eager"),
+)
+def t13_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state —
+    ``dropDuplicatesWithinWatermark`` (the Spark 3.5+ streaming-dedup
+    primitive t5 grades in batch): one row per (user, hour) from a live
+    feed, the at-least-once-source dedup step in front of any downstream
+    stream aggregate.
+
+    Hash-graded like t9/t12, not rows-only: the projected stream carries
+    ONLY the dedup key columns (user_id + the hour bucket, which is also
+    the event-time/watermark column), so every duplicate row is
+    bit-identical to its survivor and the emitted append-mode table is
+    exactly DISTINCT(user_id, hour) no matter how the file source splits
+    microbatches or which physical row is "first" — the usual
+    nondeterminism of streaming dedup (surviving row = arrival order) is
+    engineered out by keying on the full projection.
+
+    The watermark delay is the state-retention knob: a duplicate arriving
+    within the delay of its first occurrence is dropped, later ones would
+    re-emit. The test delay (45 days) exceeds the fixture's whole span so
+    the run is exact distinct; production sets it to the real replay
+    horizon (e.g. 48 h) and state stays O(keys within horizon), not
+    O(history) — the property that makes this viable on a 100 TB feed.
+    """
+    name = f"t13_dedup_{uuid.uuid4().hex[:8]}"
+    keyed = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .withWatermark("bucket", "45 days")
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(["user_id", "bucket"])
+    with _few_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return spark.table(name)

@@ -22,10 +22,10 @@ INVENTORY = (
     + [f"o{i}" for i in range(1, 8)]        # sort / limit / top-k / sample / zorder / hash-sample
     + [f"u{i}" for i in range(1, 6)]        # set ops (incl. EXCEPT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
-    + [f"t{i}" for i in range(1, 13)]       # streaming (incl. T12 stream-static join)
+    + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
     + [f"x{i}" for i in range(1, 10)]       # time-series specials
-    + [f"l{i}" for i in range(1, 34)]       # LLM pipeline (incl. L30-L33 additions)
-    + [f"d{i}" for i in range(1, 7)]        # UDF surface (incl. D6 arrow UDF)
+    + [f"l{i}" for i in range(1, 36)]       # LLM pipeline (incl. L33-L35 additions)
+    + [f"d{i}" for i in range(1, 8)]        # UDF surface (incl. D7 mapInArrow)
 )
 
 

@@ -40,12 +40,19 @@ PANDAS_ALLOWED = {
     "d2_pandas_udaf",
     "d3_grouped_apply",
     "d6_arrow_udf",            # Arrow-path scalar UDF (useArrow=True)
+    "d7_map_in_arrow",         # raw RecordBatch mapInArrow demo
     "x6_ema",                  # recursive filter: y[i] = f(y[i-1])
     "x3b_interpolate_scaled",  # chunked applyInPandas interpolation
     "l9_multimodal_features",  # mapInPandas binary feature extraction
 }
 
-PANDAS_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas", "AggregateInPandas")
+PANDAS_NODES = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "AggregateInPandas",
+    "MapInArrow",
+)
 
 
 @pytest.fixture(scope="module")
