@@ -119,3 +119,66 @@ def test_normalize_ts_equalizes_all_arrival_types(spark):
         assert isinstance(out.schema["ts"].dataType, TimestampType)
         outs.append(sorted(r.ts for r in out.collect()))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_analytic_replication_oracle_matches_direct(duck, sf_dir):
+    """The stress harness's 32× analytic oracle (scripts/stress.py
+    ANALYTIC) rests on the replication model: M doc copies ⇒ C(M,2)
+    Jaccard-1.0 self pairs + M² copies of each verified base pair +
+    copy-wise component merge. Pin the model against the DIRECT DuckDB
+    oracle on a small replicated layout (M=3 over sf0.001, where the
+    direct reconstruction is cheap) so an edit to either side — the LSH
+    constants, the pair SQL, the expectation builder — can't silently
+    drift them apart."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from datums_warehouse_spark import all_queries
+    from datums_warehouse_spark.llm.dedup import SQL_SHINGLES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "stress_mod", os.path.join(root, "scripts", "stress.py")
+    )
+    stress = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(stress)
+
+    qs = all_queries()
+    base = {
+        "pairs": duck.execute(qs["l2_minhash_lsh_pairs"].oracle).fetchdf(),
+        "clusters": duck.execute(qs["l2_dedup_clusters"].oracle).fetchdf(),
+        "sh_ids": duck.execute(
+            f"WITH sh AS ({SQL_SHINGLES}) SELECT DISTINCT doc_id FROM sh ORDER BY 1"
+        )
+        .fetchdf()["doc_id"]
+        .to_numpy()
+        .astype("int64"),
+        "stride": int(
+            duck.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
+        ),
+    }
+    m = 3
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW base AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.execute(
+        f"""
+        CREATE VIEW documents AS
+        SELECT doc_id + i * {base['stride']} AS doc_id,
+               text, lang, source, n_chars
+        FROM base CROSS JOIN (SELECT unnest(range({m})) AS i)
+        """
+    )
+    direct_pairs = con.execute(qs["l2_minhash_lsh_pairs"].oracle).fetchdf()
+    direct_clusters = con.execute(qs["l2_dedup_clusters"].oracle).fetchdf()
+    con.close()
+
+    assert stress._frames_equal_exact(
+        direct_pairs, stress._expected_pairs(base, m)
+    ), "analytic pair expectation diverged from the direct DuckDB oracle"
+    assert stress._frames_equal_exact(
+        direct_clusters, stress._expected_clusters(base, m)
+    ), "analytic cluster expectation diverged from the direct DuckDB oracle"
