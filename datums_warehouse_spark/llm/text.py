@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datums_warehouse_spark.functions.determinism import davg, sql_davg
+from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
 from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
 from datums_warehouse_spark.llm.dedup import SQL_SHINGLES, shingles
 from datums_warehouse_spark.llm.splits import SQL_SPLITS, split_col
@@ -1213,5 +1213,74 @@ def l35_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_SQL_FUNNEL_STAGE_NAME).alias("stage_name"),
             "n_docs",
             "n_tokens",
+        )
+    )
+
+
+# --- L36: mixture / epochs plan ----------------------------------------------
+
+MIX_BUDGET_FACTOR = 2  # token budget = factor × total corpus tokens
+
+
+@query(
+    "l36_mixture_plan",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT {sql_dsum("sqrt(CAST(n_tokens AS DOUBLE))")} AS z,
+                   sum(n_tokens) AS all_tokens
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight,
+               sqrt(CAST(n_tokens AS DOUBLE)) / z
+                   * {MIX_BUDGET_FACTOR} * all_tokens AS planned_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) / z
+                   * {MIX_BUDGET_FACTOR} * all_tokens / n_tokens AS epochs
+        FROM per_src CROSS JOIN tot
+    """,
+    tags=("L36",),
+)
+def l36_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan (L36): the sampling schedule a
+    training run derives before touching data — per-source weights
+    ∝ tokens^0.5 (the α=0.5 temperature that upsamples small sources,
+    standard practice for multilingual/multi-domain corpora), planned
+    tokens against a global budget, and the implied epoch count per
+    source (>1 ⇒ that source repeats). Complements l19 (hash-based
+    rebalance of the corpus itself) and l27 (selection under a budget):
+    this PLANS the mix; those execute one.
+
+    Determinism: the normalizer Σ√tokens is a sum of irrational doubles —
+    order-dependent in IEEE — so it goes through the decimal-cast dsum
+    like every graded float aggregate; every downstream value is then a
+    pure function of exact ints and that stabilized double. Scale shape:
+    one aggregate keyed by source, a 1-row broadcast total, |sources|
+    output rows; nothing driver-side.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TOKS())).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        dsum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+        F.sum("n_tokens").alias("all_tokens"),
+    )
+    weight = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    planned = weight * MIX_BUDGET_FACTOR * F.col("all_tokens")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            weight.alias("weight"),
+            planned.alias("planned_tokens"),
+            (planned / F.col("n_tokens")).alias("epochs"),
         )
     )

@@ -904,3 +904,53 @@ def x9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag.alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "x10_drawdown",
+    oracle=f"""
+        WITH daily AS ({SQL_DAILY_CLOSE}),
+        pk AS (
+            SELECT series, day, close,
+                   max(close) OVER (PARTITION BY series ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS peak
+            FROM daily
+        )
+        SELECT series, day, close, peak,
+               (peak - close) / peak AS drawdown,
+               peak = close AS at_peak
+        FROM pk
+    """,
+    tags=("X10",),
+)
+def x10_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per series (X10): the high-watermark risk
+    metric a trading TSDB reports next to returns — for each day, the
+    all-time-high close so far and the fractional distance below it.
+
+    Scale shape: one keyed aggregate to daily closes, then a single
+    ``Window.partitionBy(series)`` running max — same partitioned-window
+    discipline as every X-family operator, no global sort anywhere; the
+    division is the only double op and both engines compute it from
+    identical inputs (closes are raw stored values, the peak a max —
+    no accumulation drift).
+    """
+    daily = _daily_close(spark, sf_dir)
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "series",
+        "day",
+        "close",
+        F.max("close").over(w).alias("peak"),
+    ).select(
+        "series",
+        "day",
+        "close",
+        "peak",
+        ((F.col("peak") - F.col("close")) / F.col("peak")).alias("drawdown"),
+        (F.col("peak") == F.col("close")).alias("at_peak"),
+    )

@@ -194,12 +194,11 @@ _GRADE_FRONT = (
     "w7_topk_per_group", "w8_sliding_distinct_users",
     "o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o4_topk",
     "u1_union_all", "u2_union_distinct",
-    # new round-8 operators (never graded — they take four of the six
-    # r05-refresh tail slots; w5/s1/j9/x2 move to the r09 rotation)
+    # new round-8 operators (never graded — they take the six r05-refresh
+    # tail slots; a8_candles_15m/w2/w5/s1/j9/x2 move to the r09 rotation)
     "l34_vocab_oov", "l35_curation_funnel",
     "t13_stream_dedup_watermark", "d7_map_in_arrow",
-    # oldest r05-era evidence (the rest rotate in r09)
-    "a8_candles_15m", "w2_lag_lead",
+    "x10_drawdown", "l36_mixture_plan",
 )
 
 

@@ -23,8 +23,8 @@ INVENTORY = (
     + [f"u{i}" for i in range(1, 6)]        # set ops (incl. EXCEPT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
-    + [f"x{i}" for i in range(1, 10)]       # time-series specials
-    + [f"l{i}" for i in range(1, 36)]       # LLM pipeline (incl. L33-L35 additions)
+    + [f"x{i}" for i in range(1, 11)]       # time-series specials (incl. X10 drawdown)
+    + [f"l{i}" for i in range(1, 37)]       # LLM pipeline (incl. L33-L36 additions)
     + [f"d{i}" for i in range(1, 8)]        # UDF surface (incl. D7 mapInArrow)
 )
 
