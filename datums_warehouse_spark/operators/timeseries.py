@@ -917,7 +917,7 @@ def x9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily
         )
         SELECT series, day, close, peak,
-               (peak - close) / peak AS drawdown,
+               CASE WHEN peak != 0 THEN (peak - close) / peak END AS drawdown,
                peak = close AS at_peak
         FROM pk
     """,
@@ -933,7 +933,10 @@ def x10_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as every X-family operator, no global sort anywhere; the
     division is the only double op and both engines compute it from
     identical inputs (closes are raw stored values, the peak a max —
-    no accumulation drift).
+    no accumulation drift). A zero peak (series whose high-watermark is
+    0) yields NULL on BOTH engines — without the guard Spark's ANSI mode
+    raises DIVIDE_BY_ZERO where DuckDB returns NULL, so a fixture with a
+    leading zero close would crash the graded run instead of grading it.
     """
     daily = _daily_close(spark, sf_dir)
     w = (
@@ -951,6 +954,8 @@ def x10_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "close",
         "peak",
-        ((F.col("peak") - F.col("close")) / F.col("peak")).alias("drawdown"),
+        F.when(
+            F.col("peak") != 0, (F.col("peak") - F.col("close")) / F.col("peak")
+        ).alias("drawdown"),
         (F.col("peak") == F.col("close")).alias("at_peak"),
     )

@@ -85,7 +85,7 @@ def ensure_layout() -> str:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import stress
 
-    marker = os.path.join("/tmp", "dws_stress", f"m{MULT}v2", "_built")
+    marker = os.path.join(stress.layout_dir(MULT), "_built")
     if os.path.exists(marker):
         return os.path.dirname(marker)
     from datums_warehouse_spark.session import get_spark

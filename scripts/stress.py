@@ -138,29 +138,36 @@ ANALYTIC = set(ORACLE_MAX_MULT)
 _DEDUP_BASE: dict = {}
 
 
-def _dedup_base(qs) -> dict:
-    """DuckDB-verified 1× artifacts the analytic oracle builds from: the
-    verified pair set, the cluster assignment, the shingled-doc id list,
-    and the doc_id stride build_scaled uses (max(doc_id)+1)."""
-    if _DEDUP_BASE:
-        return _DEDUP_BASE
+def _dedup_base_from(con, qs) -> dict:
+    """DuckDB-verified 1× artifacts the analytic oracle builds from,
+    computed against an open connection whose ``documents`` view is the
+    base corpus: the verified pair set, the cluster assignment, the
+    shingled-doc id list, and the doc_id stride build_scaled uses
+    (max(doc_id)+1). The pin test (tests/test_harness_units.py) calls
+    this against sf0.001 so it validates the SAME construction the 32×
+    harness runs."""
     from datums_warehouse_spark.llm.dedup import SQL_SHINGLES
 
-    con = connect(BASE_SF)
-    _DEDUP_BASE["pairs"] = con.execute(qs["l2_minhash_lsh_pairs"].oracle).fetchdf()
-    _DEDUP_BASE["clusters"] = con.execute(qs["l2_dedup_clusters"].oracle).fetchdf()
-    _DEDUP_BASE["sh_ids"] = (
-        con.execute(
+    return {
+        "pairs": con.execute(qs["l2_minhash_lsh_pairs"].oracle).fetchdf(),
+        "clusters": con.execute(qs["l2_dedup_clusters"].oracle).fetchdf(),
+        "sh_ids": con.execute(
             f"WITH sh AS ({SQL_SHINGLES}) SELECT DISTINCT doc_id FROM sh ORDER BY 1"
         )
         .fetchdf()["doc_id"]
         .to_numpy()
-        .astype(np.int64)
-    )
-    _DEDUP_BASE["stride"] = int(
-        con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
-    )
-    con.close()
+        .astype(np.int64),
+        "stride": int(
+            con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
+        ),
+    }
+
+
+def _dedup_base(qs) -> dict:
+    if not _DEDUP_BASE:
+        con = connect(BASE_SF)
+        _DEDUP_BASE.update(_dedup_base_from(con, qs))
+        con.close()
     return _DEDUP_BASE
 
 
@@ -272,17 +279,28 @@ def _frames_equal_exact(spark_pdf: pd.DataFrame, exp_pdf: pd.DataFrame) -> bool:
     for c in cols:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            if not np.array_equal(av.astype(np.float64), bv.astype(np.float64)):
+            # equal_nan: a NULL double (e.g. an empty-sum tokens_after)
+            # becomes NaN in pandas on BOTH sides — that's a match, not a
+            # mismatch
+            if not np.array_equal(
+                av.astype(np.float64), bv.astype(np.float64), equal_nan=True
+            ):
                 return False
         elif not (av == bv).all():
             return False
     return True
 
 
+def layout_dir(mult: int) -> str:
+    """Canonical scaled-layout path; the single place the version tag
+    lives (bump on layout changes — the marker cache would otherwise
+    serve a stale layout). corescale.py keys its fast-path off this too."""
+    return os.path.join("/tmp", "dws_stress", f"m{mult}v2")
+
+
 def build_scaled(spark, mult: int) -> str:
-    # v2: ts written as TIMESTAMP_NTZ (bump the dir on layout changes —
-    # the marker cache would otherwise serve a stale layout).
-    out = os.path.join("/tmp", "dws_stress", f"m{mult}v2")
+    # v2: ts written as TIMESTAMP_NTZ
+    out = layout_dir(mult)
     marker = os.path.join(out, "_built")
     if os.path.exists(marker):
         return out
@@ -392,14 +410,15 @@ def _bucket_pair_work(spark, sf_dir: str) -> int:
     ).collect()[0]["w"]
 
 
-def _median_time(q, spark, sf_dir: str, repeats: int = 3) -> float:
-    q.fn(spark, sf_dir).count()  # warm
+def _median_time(q, spark, sf_dir: str, repeats: int = 3) -> tuple[float, int]:
+    """(median seconds over ``repeats`` post-warm passes, row count)."""
+    rows = q.fn(spark, sf_dir).count()  # warm
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).count()
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    return sorted(ts)[len(ts) // 2], rows
 
 
 def skew_stress(spark, qs) -> list[str]:
@@ -410,18 +429,18 @@ def skew_stress(spark, qs) -> list[str]:
     q = qs["j13_interval_bucket_join"]
     base_n = normalize_ts(load(spark, BASE_SF, "events")).count()
     work_base = _bucket_pair_work(spark, BASE_SF)
-    t_base = _median_time(q, spark, BASE_SF)
-    rows_base = q.fn(spark, BASE_SF).count()
+    t_base, rows_base = _median_time(q, spark, BASE_SF)
 
     sdir = build_skewed(spark, HOT_MULT)
     n_total = normalize_ts(load(spark, sdir, "events")).count()
     work_skew = _bucket_pair_work(spark, sdir)
-    t_skew = _median_time(q, spark, sdir)
-    rows_skew = q.fn(spark, sdir).count()
+    t_skew, _ = _median_time(q, spark, sdir)
     con = connect(sdir)
-    ok = compare_frames(
-        "j13_skew", q.fn(spark, sdir).toPandas(), con.execute(q.oracle).fetchdf()
-    )
+    # rows_skew from the SAME materialization the oracle compares — the
+    # query already ran 4× in _median_time, no fifth/sixth execution
+    skew_pdf = q.fn(spark, sdir).toPandas()
+    rows_skew = len(skew_pdf)
+    ok = compare_frames("j13_skew", skew_pdf, con.execute(q.oracle).fetchdf())
     con.close()
     verdict = "ok" if ok else "FAIL"
     growth = n_total / base_n

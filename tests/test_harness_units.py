@@ -136,7 +136,6 @@ def test_analytic_replication_oracle_matches_direct(duck, sf_dir):
     import duckdb
 
     from datums_warehouse_spark import all_queries
-    from datums_warehouse_spark.llm.dedup import SQL_SHINGLES
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -146,19 +145,9 @@ def test_analytic_replication_oracle_matches_direct(duck, sf_dir):
     spec.loader.exec_module(stress)
 
     qs = all_queries()
-    base = {
-        "pairs": duck.execute(qs["l2_minhash_lsh_pairs"].oracle).fetchdf(),
-        "clusters": duck.execute(qs["l2_dedup_clusters"].oracle).fetchdf(),
-        "sh_ids": duck.execute(
-            f"WITH sh AS ({SQL_SHINGLES}) SELECT DISTINCT doc_id FROM sh ORDER BY 1"
-        )
-        .fetchdf()["doc_id"]
-        .to_numpy()
-        .astype("int64"),
-        "stride": int(
-            duck.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
-        ),
-    }
+    # the harness's OWN artifact builder, pointed at sf0.001 — so the pin
+    # validates exactly the construction the 32× run uses
+    base = stress._dedup_base_from(duck, qs)
     m = 3
     con = duckdb.connect()
     con.execute(
