@@ -176,9 +176,12 @@ _GRADE_FRONT_R07 = (
 _GRADE_FRONT = (
     # never graded
     "l33_dup_passages", "l33_passage_scrub",
-    # changed after their latest driver row
+    # changed after their latest driver row (t7/t10: promoted from
+    # rows-only to full oracles mid-round-8 — they take the u1/u2 refresh
+    # slots, which move to r09)
     "t4_watermark_stream", "x7_rolling_corr", "l2_dedup_clusters",
     "l29_dedup_materialize", "l32_bigram_fluency",
+    "t7_stream_sink", "t10_session_stream",
     # r01-era evidence
     "u3_intersect", "u4_except",
     # r04-era evidence (all 35)
@@ -193,7 +196,6 @@ _GRADE_FRONT = (
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
     "o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o4_topk",
-    "u1_union_all", "u2_union_distinct",
     # new round-8 operators (never graded — they take the six r05-refresh
     # tail slots; a8_candles_15m/w2/w5/s1/j9/x2 move to the r09 rotation)
     "l34_vocab_oov", "l35_curation_funnel",

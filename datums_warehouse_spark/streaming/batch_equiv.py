@@ -4,11 +4,15 @@ The reference "streams" by cron-polling the exchange since the last stored
 candle [R]; the genuine Spark equivalents are Structured Streaming
 primitives. Each stateful shape is graded in batch mode against a DuckDB
 oracle (identical semantics — Spark's window/session functions behave the
-same under batch and microbatch); T4/T6/T7/T8 actually run ``readStream``
-with an ``availableNow`` trigger end-to-end (rows-only: an oracle can't
-run a stream), and T9 (foreachBatch upsert) and T12 (stream-static join,
-complete-mode rollup) are genuine streams whose deterministic final
-tables ARE oracle-graded.
+same under batch and microbatch); T4/T6/T7/T8/T10/T13 actually run
+``readStream`` with an ``availableNow`` trigger end-to-end. Most genuine
+streams are ALSO oracle-graded — their deterministic final/finalized
+output is SQL-expressible (T9's upserted table, T12's complete-mode
+rollup, T4's and T10's closed-bucket/closed-session subsets, T7's
+exactly-once sink counts, T13's full-projection dedup); only
+T6-stateful and T8 stay rows-only (arbitrary-state and pair-emission
+timing couple to the microbatch split; each has a hash-graded batch twin
+plus a parity pytest).
 
 At scale: watermarks bound state-store size; session/tumbling windows key
 state by (user/series, window) which shards across executors.
@@ -256,11 +260,22 @@ def t4_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("t7_stream_sink", tags=("T7", "eager"))
+@query(
+    "t7_stream_sink",
+    oracle="""
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    tags=("T7", "eager"),
+)
 def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parquet sink with checkpoint — the reference's append-to-
-    warehouse update loop [R] as a real writeStream. Returns the re-read
-    per-series counts (rows-only)."""
+    warehouse update loop [R] as a real writeStream.
+
+    Hash-graded (not rows-only): availableNow drains the whole source into
+    the parquet sink exactly once (fresh sink + checkpoint per run), so the
+    re-read per-series counts equal the batch counts no matter how the
+    file source split microbatches — the sink's exactly-once contract IS
+    the graded property."""
     tag = sf_dir.rstrip("/").split("/")[-1]
     out = os.path.join(tempfile.gettempdir(), "dws_stream_sink", tag)
     shutil.rmtree(out, ignore_errors=True)
@@ -460,12 +475,55 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t10_session_stream", tags=("T3", "T4", "eager"))
+@query(
+    "t10_session_stream",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+            FROM events
+        ),
+        mx AS (SELECT max(ts) AS m FROM ev),
+        flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n,
+                   {sql_dsum("value")} AS total
+            FROM (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, n, total
+        FROM sess CROSS JOIN mx
+        WHERE session_end + INTERVAL 30 MINUTE <= m - INTERVAL 2 HOUR
+    """,
+    tags=("T3", "T4", "eager"),
+)
 def t10_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a genuine stream: watermarked
-    ``session_window`` with availableNow trigger (rows-only — the
-    watermark finalization policy has no batch-SQL equivalent; t3 grades
-    the batch twin against the islands oracle).
+    ``session_window`` with availableNow trigger.
+
+    Hash-graded via the same finalized-subset argument as t4 (r07 VERDICT
+    item 7): append mode emits exactly the CLOSED sessions — windows whose
+    end (last event + 30 min gap) has passed the final watermark
+    (max event time − 2 h), flushed by availableNow's closing no-data
+    batch. That subset is deterministic and SQL-expressible: 30-min-gap
+    islands per user (t3's oracle) filtered to
+    ``session_end + gap <= max(ts) − 2h``; the still-open tail sessions
+    are excluded on both engines. Decimal-exact totals make the rows
+    microbatch-order-independent.
 
     Session state is keyed (user, open session) and MERGED as events
     arrive — sessions extend or fuse when a new event lands within the

@@ -129,11 +129,9 @@ def test_sql_expressible_rows_have_oracles():
         "a4_approx_count_distinct",  # HLL sketch ≠ DuckDB's
         "l3_lsh_ann",                # MLlib model hashing
         "t6_stateful_stream",        # applyInPandasWithState, genuine stream
-        "t7_stream_sink",            # genuine stream sink
-        "t8_stream_stream_join",     # genuine two-stream join run
-                                     # (comp3 is its batch-graded twin)
-        "t10_session_stream",        # genuine streaming session windows
-                                     # (t3 is its batch-graded twin)
+        "t8_stream_stream_join",     # genuine two-stream join run: pair
+                                     # emission timing couples to microbatch
+                                     # split (comp3 is its batch-graded twin)
         "o5_table_sample",           # sampling RNG is engine-specific
         "o5_stratified_sample",      # sampling RNG is engine-specific
     }
