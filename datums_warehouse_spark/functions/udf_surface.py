@@ -311,3 +311,71 @@ def d7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
     )
     return li.mapInArrow(net_of, "l_orderkey bigint, l_linenumber int, net double")
+
+
+@query(
+    "d8_cogroup_pandas",
+    oracle="""
+        WITH e AS (
+            SELECT user_id AS key, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_event_types
+            FROM events GROUP BY 1
+        ),
+        o AS (
+            SELECT o_custkey AS key, count(*) AS n_orders,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_open
+            FROM orders GROUP BY 1
+        )
+        SELECT COALESCE(e.key, o.key) AS key,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(n_event_types, 0) AS n_event_types,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_open, 0) AS n_open
+        FROM e FULL OUTER JOIN o ON e.key = o.key
+    """,
+    tags=("D8",),
+)
+def d8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` (D8): the last Python-UDF surface —
+    two DataFrames grouped on the same key, each key's pair of pandas
+    frames handed to one function. The distinctive semantics vs a join:
+    keys present on only ONE side still fire the function (the other
+    frame arrives empty), which is why the oracle is a FULL OUTER join of
+    the two per-key aggregates, not an inner one. All outputs are integer
+    counts, so the escape hatch stays hash-graded.
+
+    Scale shape: one shuffle per side on the cogroup key (exactly what a
+    shuffle join would pay), then per-key pandas with no cross-key state —
+    shards across executors like any grouped-map. The activity-ledger
+    logic here is SQL-expressible on purpose (that's what makes it
+    gradeable); the surface exists for per-key algorithms that are not.
+    """
+
+    def ledger(key, ev, od):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [len(ev)],
+                "n_event_types": [ev["event_type"].nunique() if len(ev) else 0],
+                "n_orders": [len(od)],
+                "n_open": [int((od["o_orderstatus"] == "O").sum()) if len(od) else 0],
+            }
+        )
+
+    ev = events_us(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "event_type"
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), "o_orderstatus"
+    )
+    return (
+        ev.groupBy("key")
+        .cogroup(od.groupBy("key"))
+        .applyInPandas(
+            ledger,
+            schema="key long, n_events long, n_event_types long, "
+            "n_orders long, n_open long",
+        )
+    )

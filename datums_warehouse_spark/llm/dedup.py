@@ -31,6 +31,7 @@ from datums_warehouse_spark.functions.hashing import (
     minhash_expr,
     sql_hash48,
 )
+from datums_warehouse_spark.functions.determinism import davg, sql_davg
 from datums_warehouse_spark.llm.splits import SQL_SPLITS, split_col
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import load
@@ -1054,5 +1055,144 @@ def l33_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tok") - F.coalesce(F.sum("dup_tokens"), F.lit(0)))
             .cast("long")
             .alias("tokens_after"),
+        )
+    )
+
+
+# --- L37: MinHash estimator calibration --------------------------------------
+
+
+@query(
+    "l37_minhash_calibration",
+    oracle=f"""
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
+        {SQL_LSH_CAND},
+        {SQL_JACCARD_CTES},
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   ({" + ".join(
+                       f"CAST(sa.mh{i} = sb.mh{i} AS BIGINT)"
+                       for i in range(N_HASHES)
+                   )}) AS matches
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b
+        ),
+        jac AS (
+            SELECT e.matches,
+                   CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                       / (na.n + nb.n - COALESCE(i.ni, 0)) AS j
+            FROM est e
+            JOIN sizes na ON na.doc_id = e.doc_a
+            JOIN sizes nb ON nb.doc_id = e.doc_b
+            LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        )
+        SELECT matches,
+               CAST(matches AS DOUBLE) / {N_HASHES} AS est_jaccard,
+               count(*) AS n_pairs,
+               {sql_davg("j")} AS avg_jaccard,
+               min(j) AS min_jaccard,
+               max(j) AS max_jaccard
+        FROM jac GROUP BY matches
+    """,
+    tags=("L37", "L2"),
+)
+def l37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the QA step a pipeline runs before
+    trusting an LSH dedup sweep: over every LSH candidate pair, compare
+    the minhash ESTIMATE of Jaccard (matching components / N_HASHES)
+    against the EXACT shingle Jaccard, rolled up per estimate bucket.
+    A well-calibrated sketch shows avg_jaccard tracking est_jaccard; a
+    drifting row tells you the band/threshold configuration is unsafe
+    before you delete terabytes on its say-so.
+
+    Pairs that share an LSH bucket through hash coincidence alone can have
+    ZERO common shingles — the intersection join is LEFT, coalescing ni to
+    0, so those pairs calibrate at exact-Jaccard 0 instead of silently
+    vanishing (an inner join would bias the calibration upward).
+
+    Scale shape: reuses the l2 pipeline's shingle cache, signature
+    aggregate, and banded candidate join (never all-pairs); adds one
+    signature equi-join per side and the same candidates-only intersection
+    join l2's verify pays. Per-pair doubles are bit-identical across
+    engines (one division); the per-bucket mean goes through the decimal
+    sum, so the 9-row calibration table hash-grades.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
+    sigs = minhash_signatures(sh)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(N_HASHES)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("matches"))
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.h") == F.col("x.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    return (
+        est.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select("matches", jac.alias("j"))
+        .groupBy("matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg("j").alias("avg_jaccard"),
+            F.min("j").alias("min_jaccard"),
+            F.max("j").alias("max_jaccard"),
+        )
+        .select(
+            "matches",
+            (F.col("matches").cast("double") / N_HASHES).alias("est_jaccard"),
+            "n_pairs",
+            "avg_jaccard",
+            "min_jaccard",
+            "max_jaccard",
         )
     )

@@ -195,12 +195,16 @@ _GRADE_FRONT = (
     "a5_grouping_sets", "a1_salted_two_stage",
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
-    "o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o4_topk",
+    "o4_topk",
     # new round-8 operators (never graded — they take the six r05-refresh
     # tail slots; a8_candles_15m/w2/w5/s1/j9/x2 move to the r09 rotation)
     "l34_vocab_oov", "l35_curation_funnel",
     "t13_stream_dedup_watermark", "d7_map_in_arrow",
     "x10_drawdown", "l36_mixture_plan",
+    # late round-8 additions (never graded — they take the o1/o2/o3
+    # refresh slots, which move to r09: trivial sort/limit shapes are the
+    # lowest-staleness-risk refreshes to delay)
+    "d8_cogroup_pandas", "l37_minhash_calibration", "s15_schema_evolution",
 )
 
 

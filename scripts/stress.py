@@ -111,6 +111,12 @@ QUERIES = [
     # gram inverted index + per-doc island merge) — replication multiplies
     # sharers per gram, output spans grow ~M×
     "l33_dup_passages",
+    # late-round-8: schema-evolution merged read (footer-time metadata
+    # work — the graded aggregate should scale like the plain events agg)
+    # and the cogrouped-map pandas surface (two key shuffles + per-key
+    # Arrow batches). Both direct-oracle-checkable at every multiplier.
+    "s15_schema_evolution",
+    "d8_cogroup_pandas",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:

@@ -14,7 +14,7 @@ from datums_warehouse_spark import all_queries
 # T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
 # the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 15)]         # scans/sinks/connectors/compaction/vacuum/diff
+    [f"s{i}" for i in range(1, 16)]         # scans/sinks/connectors/compaction/vacuum/diff/evolution
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 14)]       # joins (J11 salted, J12 bloom, J13 interval)
     + [f"a{i}" for i in range(1, 12)]       # aggregations
@@ -24,8 +24,8 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
     + [f"x{i}" for i in range(1, 11)]       # time-series specials (incl. X10 drawdown)
-    + [f"l{i}" for i in range(1, 37)]       # LLM pipeline (incl. L33-L36 additions)
-    + [f"d{i}" for i in range(1, 8)]        # UDF surface (incl. D7 mapInArrow)
+    + [f"l{i}" for i in range(1, 38)]       # LLM pipeline (incl. L33-L37 additions)
+    + [f"d{i}" for i in range(1, 9)]        # UDF surface (incl. D7 mapInArrow, D8 cogroup)
 )
 
 

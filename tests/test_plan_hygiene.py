@@ -41,6 +41,7 @@ PANDAS_ALLOWED = {
     "d3_grouped_apply",
     "d6_arrow_udf",            # Arrow-path scalar UDF (useArrow=True)
     "d7_map_in_arrow",         # raw RecordBatch mapInArrow demo
+    "d8_cogroup_pandas",       # cogrouped-map applyInPandas demo
     "x6_ema",                  # recursive filter: y[i] = f(y[i-1])
     "x3b_interpolate_scaled",  # chunked applyInPandas interpolation
     "l9_multimodal_features",  # mapInPandas binary feature extraction
@@ -49,6 +50,7 @@ PANDAS_ALLOWED = {
 PANDAS_NODES = (
     "ArrowEvalPython",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
     "MapInPandas",
     "AggregateInPandas",
     "MapInArrow",
