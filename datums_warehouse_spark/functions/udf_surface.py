@@ -317,21 +317,23 @@ def d7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_cogroup_pandas",
     oracle="""
         WITH e AS (
-            SELECT user_id AS key, count(*) AS n_events,
-                   count(DISTINCT event_type) AS n_event_types
+            SELECT date_trunc('month', ts) AS month,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
         ),
         o AS (
-            SELECT o_custkey AS key, count(*) AS n_orders,
-                   count(*) FILTER (o_orderstatus = 'O') AS n_open
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent
             FROM orders GROUP BY 1
         )
-        SELECT COALESCE(e.key, o.key) AS key,
+        SELECT COALESCE(e.month, o.month) AS month,
                COALESCE(n_events, 0) AS n_events,
-               COALESCE(n_event_types, 0) AS n_event_types,
+               COALESCE(n_users, 0) AS n_users,
                COALESCE(n_orders, 0) AS n_orders,
-               COALESCE(n_open, 0) AS n_open
-        FROM e FULL OUTER JOIN o ON e.key = o.key
+               COALESCE(n_urgent, 0) AS n_urgent
+        FROM e FULL OUTER JOIN o ON e.month = o.month
     """,
     tags=("D8",),
 )
@@ -344,11 +346,23 @@ def d8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two per-key aggregates, not an inner one. All outputs are integer
     counts, so the escape hatch stays hash-graded.
 
+    The cogroup key is the calendar MONTH — deliberately few-large-groups,
+    because that is cogroup's cost model: one Python function call + one
+    output-frame construction PER KEY (~1 ms each). A first cut of this
+    query keyed on user/customer ids spent 20 s at sf0.1 in pure per-key
+    overhead across 15k near-empty groups (AQE coalesces the tiny shuffle
+    to 1-2 tasks, serializing those calls) while the month-keyed plan is
+    sub-second with the same bytes — for high-cardinality per-key counts
+    use a real join (the oracle's plan). One more scale note: a single
+    month's frame must fit one executor's memory; a real deployment
+    sub-buckets any giant key (salting) before cogrouping.
+
     Scale shape: one shuffle per side on the cogroup key (exactly what a
     shuffle join would pay), then per-key pandas with no cross-key state —
-    shards across executors like any grouped-map. The activity-ledger
-    logic here is SQL-expressible on purpose (that's what makes it
-    gradeable); the surface exists for per-key algorithms that are not.
+    groups shard across executors and grow with data while the key count
+    stays fixed. The ledger logic is SQL-expressible on purpose (that's
+    what makes it gradeable); the surface exists for per-key algorithms
+    that are not.
     """
 
     def ledger(key, ev, od):
@@ -356,26 +370,31 @@ def d8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.DataFrame(
             {
-                "key": [key[0]],
+                "month": [key[0]],
                 "n_events": [len(ev)],
-                "n_event_types": [ev["event_type"].nunique() if len(ev) else 0],
+                "n_users": [ev["user_id"].nunique() if len(ev) else 0],
                 "n_orders": [len(od)],
-                "n_open": [int((od["o_orderstatus"] == "O").sum()) if len(od) else 0],
+                "n_urgent": [
+                    int((od["o_orderpriority"] == "1-URGENT").sum())
+                    if len(od)
+                    else 0
+                ],
             }
         )
 
     ev = events_us(spark, sf_dir).select(
-        F.col("user_id").alias("key"), "event_type"
+        F.date_trunc("month", "ts").alias("month"), "user_id"
     )
     od = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"), "o_orderstatus"
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
     )
     return (
-        ev.groupBy("key")
-        .cogroup(od.groupBy("key"))
+        ev.groupBy("month")
+        .cogroup(od.groupBy("month"))
         .applyInPandas(
             ledger,
-            schema="key long, n_events long, n_event_types long, "
-            "n_orders long, n_open long",
+            schema="month timestamp, n_events long, n_users long, "
+            "n_orders long, n_urgent long",
         )
     )

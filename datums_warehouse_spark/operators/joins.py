@@ -750,3 +750,60 @@ def j13_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_user").alias("user_id"), "session_start", "n_concurrent"
         )
     )
+
+
+@query(
+    "j14_null_safe_join",
+    oracle=f"""
+        WITH a AS (
+            SELECT nullif(l_discount, 0.0) AS disc,
+                   count(*) AS n_95,
+                   {sql_dsum("l_extendedprice * (1 - l_discount)")} AS rev_95
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT nullif(l_discount, 0.0) AS disc,
+                   count(*) AS n_96,
+                   {sql_dsum("l_extendedprice * (1 - l_discount)")} AS rev_96
+            FROM lineitem
+            WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+            GROUP BY 1
+        )
+        SELECT a.disc AS disc, n_95, rev_95, n_96, rev_96
+        FROM a JOIN b ON a.disc IS NOT DISTINCT FROM b.disc
+    """,
+    tags=("J14",),
+)
+def j14_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (J14): ``<=>`` / IS NOT DISTINCT FROM — the
+    join variant where NULL keys MATCH each other instead of silently
+    dropping, which is what reconciliation queries over optional
+    attributes need (here: year-over-year revenue per discount band,
+    where "no discount" is modeled as NULL via p6's nullif convention; a
+    plain equi-join would lose exactly that bucket, usually the largest).
+
+    Scale shape: both sides pre-aggregate to |distinct bands| rows BEFORE
+    the join (map-side combinable), so the null-safe comparison — which
+    Spark plans as a hash join on a null-tolerant key wrapper, not a
+    cartesian — touches a dozen rows however large the scan. Filters push
+    to the parquet scan on both sides.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def year(y: int, n_name: str, rev_name: str) -> DataFrame:
+        return (
+            li.filter(
+                F.col("l_shipdate").between(f"{y}-01-01", f"{y}-12-31")
+            )
+            .select(F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"), net.alias("net"))
+            .groupBy("disc")
+            .agg(F.count(F.lit(1)).alias(n_name), dsum("net").alias(rev_name))
+        )
+
+    a, b = year(1995, "n_95", "rev_95"), year(1996, "n_96", "rev_96")
+    return a.join(b, a["disc"].eqNullSafe(b["disc"])).select(
+        a["disc"].alias("disc"), "n_95", "rev_95", "n_96", "rev_96"
+    )

@@ -341,3 +341,38 @@ def o7_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled"), dsum("value").alias("value_sum")
     )
+
+
+@query(
+    "u6_intersect_all",
+    oracle="""
+        SELECT user_id, least(n_views, n_buys) AS n_common FROM (
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buys
+            FROM events GROUP BY user_id
+        )
+        WHERE n_views > 0 AND n_buys > 0
+    """,
+    tags=("U6",),
+)
+def u6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each user keeps min(#view, #purchase)
+    rows — multiplicity-aware intersection, the U5 counterpart on the
+    intersect side and a different operator from U3's distinct INTERSECT
+    (Spark ``intersectAll``, planned as a min-of-counts aggregate rather
+    than a semi join). Graded on the surviving multiplicity per user,
+    which pins the bag arithmetic the distinct form erases.
+
+    Scale shape: like U5, one hash aggregate per side sharded on the row
+    key — no all-pairs anything; the multiset min is computed where the
+    rows live.
+    """
+    e = events_us(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        views.intersectAll(buys)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )

@@ -191,20 +191,20 @@ _GRADE_FRONT = (
     "j10_self_join_funnel",
     "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
     "a4_approx_count_distinct", "a5_rollup", "a5_cube", "a6_having",
-    "a7_distinct", "a9_pivot", "a10_stats", "a11_collect_list",
+    "a9_pivot", "a10_stats", "a11_collect_list",
     "a5_grouping_sets", "a1_salted_two_stage",
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
-    "o4_topk",
     # new round-8 operators (never graded — they take the six r05-refresh
     # tail slots; a8_candles_15m/w2/w5/s1/j9/x2 move to the r09 rotation)
     "l34_vocab_oov", "l35_curation_funnel",
     "t13_stream_dedup_watermark", "d7_map_in_arrow",
     "x10_drawdown", "l36_mixture_plan",
-    # late round-8 additions (never graded — they take the o1/o2/o3
-    # refresh slots, which move to r09: trivial sort/limit shapes are the
-    # lowest-staleness-risk refreshes to delay)
+    # late round-8 additions (never graded — they take the o1/o2/o3/o4/a7
+    # refresh slots, which move to r09: trivial sort/limit/distinct shapes
+    # are the lowest-staleness-risk refreshes to delay)
     "d8_cogroup_pandas", "l37_minhash_calibration", "s15_schema_evolution",
+    "u6_intersect_all", "j14_null_safe_join",
 )
 
 

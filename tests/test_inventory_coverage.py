@@ -16,11 +16,11 @@ from datums_warehouse_spark import all_queries
 INVENTORY = (
     [f"s{i}" for i in range(1, 16)]         # scans/sinks/connectors/compaction/vacuum/diff/evolution
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
-    + [f"j{i}" for i in range(1, 14)]       # joins (J11 salted, J12 bloom, J13 interval)
+    + [f"j{i}" for i in range(1, 15)]       # joins (J11 salted, J12 bloom, J13 interval, J14 null-safe)
     + [f"a{i}" for i in range(1, 12)]       # aggregations
     + [f"w{i}" for i in range(1, 10)]       # windows
     + [f"o{i}" for i in range(1, 8)]        # sort / limit / top-k / sample / zorder / hash-sample
-    + [f"u{i}" for i in range(1, 6)]        # set ops (incl. EXCEPT ALL)
+    + [f"u{i}" for i in range(1, 7)]        # set ops (incl. EXCEPT ALL, INTERSECT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
     + [f"x{i}" for i in range(1, 11)]       # time-series specials (incl. X10 drawdown)

@@ -54,24 +54,39 @@ class TestCogroupPandas:
         assert "FlatMapCoGroupsInPandas" in plan
 
     def test_one_sided_keys_fire(self, spark, sf_dir):
-        """Keys with orders but no events must still appear (empty left
-        frame), with zero event counts — the semantics a join can't give."""
+        """Months present on only ONE side must still appear (the other
+        frame arrives empty), with zero counts for the absent side — the
+        semantics an inner join can't give. In the fixture the domains are
+        fully disjoint (2024 events vs 1992-2001 orders), so every key
+        exercises the empty-frame path."""
+        from datums_warehouse_spark.sources.tables import events_us
+
         rows = {
-            r["key"]: r for r in udf_surface.d8_cogroup_pandas(spark, sf_dir).collect()
+            r["month"]: r
+            for r in udf_surface.d8_cogroup_pandas(spark, sf_dir).collect()
         }
-        ev_keys = {
+        ev_months = {
             r[0]
-            for r in load(spark, sf_dir, "events").select("user_id").distinct().collect()
+            for r in events_us(spark, sf_dir)
+            .select(F.date_trunc("month", "ts"))
+            .distinct()
+            .collect()
         }
-        od_keys = {
+        od_months = {
             r[0]
-            for r in load(spark, sf_dir, "orders").select("o_custkey").distinct().collect()
+            for r in load(spark, sf_dir, "orders")
+            .select(F.date_trunc("month", "o_orderdate"))
+            .distinct()
+            .collect()
         }
-        assert set(rows) == ev_keys | od_keys
-        only_orders = od_keys - ev_keys
-        assert only_orders, "fixture should have order-only keys"
+        assert set(rows) == ev_months | od_months
+        only_orders = od_months - ev_months
+        only_events = ev_months - od_months
+        assert only_orders and only_events, "fixture should have one-sided keys"
         for k in only_orders:
             assert rows[k]["n_events"] == 0 and rows[k]["n_orders"] > 0
+        for k in only_events:
+            assert rows[k]["n_orders"] == 0 and rows[k]["n_events"] > 0
 
 
 class TestMinhashCalibration:
