@@ -1284,3 +1284,88 @@ def l36_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (planned / F.col("n_tokens")).alias("epochs"),
         )
     )
+
+
+# --- L38: vocabulary-growth (Heaps-law) curve ---------------------------------
+
+
+@query(
+    "l38_vocab_growth",
+    oracle="""
+        WITH n AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+        per_bucket AS (
+            SELECT CAST(first_doc * 10 // nd AS INT) AS bucket,
+                   count(*) AS new_types
+            FROM firsts CROSS JOIN n GROUP BY 1
+        ),
+        vol AS (
+            SELECT CAST(doc_id * 10 // nd AS INT) AS bucket,
+                   count(*) AS n_tokens
+            FROM toks CROSS JOIN n GROUP BY 1
+        )
+        SELECT v.bucket, v.n_tokens,
+               COALESCE(b.new_types, 0) AS new_types,
+               CAST(SUM(COALESCE(b.new_types, 0)) OVER w AS BIGINT) AS vocab_size,
+               CAST(SUM(v.n_tokens) OVER w AS BIGINT) AS corpus_tokens
+        FROM vol v LEFT JOIN per_bucket b ON v.bucket = b.bucket
+        WINDOW w AS (ORDER BY v.bucket ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("L38", "scale"),
+)
+def l38_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct-token count
+    over ingest-ordered tenths of the corpus — the saturation diagnostic a
+    data-curation pipeline reads before buying more data: if vocab_size
+    flattens while corpus_tokens keeps climbing, additional crawl volume
+    is adding repetition, not diversity.
+
+    Cumulative-distinct is computed WITHOUT any distinct-per-prefix
+    rescan: a token's first occurrence (min doc_id, one hash aggregate
+    over the token stream) assigns it to exactly one ingest bucket, so
+    "vocab after bucket b" is a running sum of per-bucket first-occurrence
+    counts. Buckets that introduce no new types survive via the left join
+    (new_types = 0) so the running sums stay aligned.
+
+    Scale shape: two map-side-combinable hash aggregates over the exploded
+    token stream (first-occurrence per token, volume per bucket), the
+    1-row corpus bound attached broadcast-side (no collect), and the
+    running sums over a FIXED 10-row frame — the window input is the
+    bucket table, never the data, so the single-partition window is
+    constant work at any corpus size (unlike the data-sized windows
+    operators/sharded.py exists to replace).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    nd = d.agg((F.max("doc_id") + 1).alias("nd"))
+    toks = d.select("doc_id", F.explode(TOKS()).alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (
+        firsts.crossJoin(F.broadcast(nd))
+        .select(F.expr("CAST((first_doc * 10) div nd AS INT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    vol = (
+        toks.crossJoin(F.broadcast(nd))
+        .select(F.expr("CAST((doc_id * 10) div nd AS INT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    new_types = F.coalesce("new_types", F.lit(0))
+    return (
+        vol.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            new_types.alias("new_types"),
+            F.sum(new_types).over(w).alias("vocab_size"),
+            F.sum("n_tokens").over(w).alias("corpus_tokens"),
+        )
+    )

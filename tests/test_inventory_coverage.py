@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
     + [f"x{i}" for i in range(1, 11)]       # time-series specials (incl. X10 drawdown)
-    + [f"l{i}" for i in range(1, 38)]       # LLM pipeline (incl. L33-L37 additions)
+    + [f"l{i}" for i in range(1, 39)]       # LLM pipeline (incl. L33-L38 additions)
     + [f"d{i}" for i in range(1, 9)]        # UDF surface (incl. D7 mapInArrow, D8 cogroup)
 )
 
