@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
+from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us, load
 
@@ -352,4 +353,80 @@ def a1_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), F.sum("psum").cast("double").alias("total")
+    )
+
+
+KMV_K = 64  # sketch size: relative error ~ 1/sqrt(K-1) ≈ 12.6%
+
+
+@query(
+    "a12_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   {sql_hash48("CAST(user_id AS VARCHAR)")} AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ),
+        kth AS (
+            SELECT event_type, max(h) AS hk, count(*) AS n_in
+            FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.n_exact,
+               CASE WHEN k.n_in < {KMV_K}
+                    THEN CAST(k.n_in AS DOUBLE)
+                    ELSE CAST({KMV_K - 1} AS DOUBLE) * 281474976710656.0 / k.hk
+               END AS kmv_estimate
+        FROM exact e JOIN kth k ON e.event_type = k.event_type
+    """,
+    tags=("A12", "A4", "scale"),
+)
+def a12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the cross-engine-
+    REPRODUCIBLE alternative to A4's HLL: keep the K smallest values of a
+    portable 48-bit hash per group; the K-th smallest estimates density
+    ((K-1) · 2^48 / h_K, the classic bottom-k estimator). Because the
+    sketch is just an order statistic of deterministic integer hashes,
+    DuckDB reconstructs it bit-for-bit and the approximate answer itself
+    is hash-GRADED — the property engine-native HLL can never offer
+    (a4 stays rows-only for exactly that reason). Below K distinct values
+    the sketch degenerates to the exact count (n_in < K regime).
+
+    Scale shape: one distinct-reduce of (group, hash) — map-side
+    combinable — then a bottom-K per group via a PARTITIONED window over
+    the deduped hashes, bounded by distinct-count not corpus size; K-row
+    state per group. Mergeability is the production point: bottom-K sets
+    union associatively across partitions/days, so the sketch composes
+    incrementally like the reference's cursor updates [R].
+    """
+    from pyspark.sql import Window
+
+    e = events_us(spark, sf_dir)
+    h = (
+        e.select("event_type", hash48(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_in"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_in") < KMV_K, F.col("n_in").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(281474976710656.0) / F.col("hk"))
+    return exact.join(kth, "event_type").select(
+        "event_type", "n_exact", est.alias("kmv_estimate")
     )

@@ -190,7 +190,7 @@ _GRADE_FRONT = (
     "j5_semi_join", "j6_anti_join", "j7_cross_join", "j8_range_join",
     "j10_self_join_funnel",
     "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
-    "a4_approx_count_distinct", "a5_rollup", "a5_cube",
+    "a4_approx_count_distinct", "a5_rollup",
     "a9_pivot", "a10_stats", "a11_collect_list",
     "a5_grouping_sets", "a1_salted_two_stage",
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
@@ -201,11 +201,12 @@ _GRADE_FRONT = (
     "t13_stream_dedup_watermark", "d7_map_in_arrow",
     "x10_drawdown", "l36_mixture_plan",
     # late round-8 additions (never graded — they take the o1/o2/o3/o4/
-    # a7/a6 refresh slots, which move to r09: trivial sort/limit/distinct/
-    # having shapes over non-ts tables are the lowest-staleness-risk
-    # refreshes to delay)
+    # a7/a6/a5_cube refresh slots, which move to r09: trivial sort/limit/
+    # distinct/having/cube shapes over non-ts tables are the
+    # lowest-staleness-risk refreshes to delay)
     "d8_cogroup_pandas", "l37_minhash_calibration", "s15_schema_evolution",
     "u6_intersect_all", "j14_null_safe_join", "l38_vocab_growth",
+    "a12_kmv_distinct",
 )
 
 
