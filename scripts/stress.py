@@ -117,6 +117,15 @@ QUERIES = [
     # Arrow batches). Both direct-oracle-checkable at every multiplier.
     "s15_schema_evolution",
     "d8_cogroup_pandas",
+    # closing-round-8: bag-semantics intersection (two hash aggs), the
+    # null-safe band reconciliation (pre-aggregated join), the Heaps-law
+    # vocab curve (token-stream hash aggs + fixed 10-row window), and the
+    # KMV distinct sketch (distinct-bounded partitioned bottom-K). All
+    # direct-oracle-checkable at every multiplier.
+    "u6_intersect_all",
+    "j14_null_safe_join",
+    "l38_vocab_growth",
+    "a12_kmv_distinct",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:
