@@ -275,6 +275,36 @@ SQL_LSH_CAND = f"""
 """
 
 
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from minhash signatures:
+    explode each doc into its N_BANDS (band, sig) bucket keys, self-join on
+    the bucket — never all-pairs. Shared by l2's dedup pipeline and l37's
+    calibration so the two can never desynchronize on banding."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query(
     "l2_minhash_lsh_pairs",
     oracle=f"""
@@ -296,29 +326,7 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
     sigs = minhash_signatures(sh)
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidates(sigs)
 
     return jaccard_verify(cand, sh, JACCARD_THRESHOLD)
 
@@ -1122,29 +1130,7 @@ def l37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
     sigs = minhash_signatures(sh)
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidates(sigs)
 
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -583,6 +583,4 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.filter(F.col("event_id") % 2 == 0).drop("event_type").write.parquet(v1)
     e.filter(F.col("event_id") % 2 == 1).write.parquet(v2)
     merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
-    return merged.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
-    )
+    return _event_agg(merged)

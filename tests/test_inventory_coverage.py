@@ -17,7 +17,7 @@ INVENTORY = (
     [f"s{i}" for i in range(1, 16)]         # scans/sinks/connectors/compaction/vacuum/diff/evolution
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 15)]       # joins (J11 salted, J12 bloom, J13 interval, J14 null-safe)
-    + [f"a{i}" for i in range(1, 12)]       # aggregations
+    + [f"a{i}" for i in range(1, 13)]       # aggregations (incl. A12 KMV sketch)
     + [f"w{i}" for i in range(1, 10)]       # windows
     + [f"o{i}" for i in range(1, 8)]        # sort / limit / top-k / sample / zorder / hash-sample
     + [f"u{i}" for i in range(1, 7)]        # set ops (incl. EXCEPT ALL, INTERSECT ALL)
