@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datums_warehouse_spark.functions.determinism import DEC, dsum
+from datums_warehouse_spark.functions.determinism import DEC, dsum, sql_dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us
 
@@ -958,4 +958,102 @@ def x10_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak") != 0, (F.col("peak") - F.col("close")) / F.col("peak")
         ).alias("drawdown"),
         (F.col("peak") == F.col("close")).alias("at_peak"),
+    )
+
+
+# --- X11: time-weighted average price ----------------------------------------
+
+HOUR_US = 3_600_000_000  # one hour in microseconds
+
+
+@query(
+    "x11_twap",
+    oracle=f"""
+        WITH o AS (
+            -- epoch_us: Spark sees µs-truncated ts (sources/tables.py rule)
+            SELECT event_type AS series,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS b0,
+                   value,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id) AS nxt
+            FROM events
+        ),
+        d AS (
+            SELECT series, bucket, value,
+                   least(coalesce(nxt, b0 + {HOUR_US}), b0 + {HOUR_US}) - ts_us
+                       AS dt
+            FROM o
+        )
+        SELECT series, bucket, count(*) AS n,
+               CAST(sum(dt) AS BIGINT) AS dwell_us,
+               CASE WHEN sum(dt) > 0
+                    THEN CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt) AS DOUBLE)
+                         / CAST(sum(dt) AS DOUBLE) END AS twap
+        FROM d GROUP BY series, bucket
+    """,
+    tags=("X11",),
+)
+def x11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly TWAP (time-weighted average price) per series: each observed
+    value weighted by how long it remained the latest print inside the
+    bucket — the fill benchmark a trading warehouse publishes next to
+    A8's VWAP, and a different statistic entirely (VWAP weights by traded
+    size, TWAP by elapsed time; sparse bursts move VWAP but barely move
+    TWAP).
+
+    Dwell time = min(next print, bucket end) − print time, carried to the
+    bucket boundary for the last print of each bucket (last-observation-
+    carried-forward, truncated at the hour). Duplicate timestamps get
+    zero dwell except the final one in (ts, event_id) order — the same
+    deterministic tie-break as the oracle's window.
+
+    Determinism: dwell times are INTEGER microseconds (exact lead/subtract
+    arithmetic), and the value·dt products are computed IN DECIMAL — value
+    cast to decimal(12,2) first (the stored doubles are exact 2-dp prices,
+    identical on both engines), then multiplied by the integer dwell — so
+    every product and the per-bucket sum are exact; the final division is
+    the only float op. Two cross-engine cast hazards shape this: (a)
+    casting the DOUBLE product value*dt to decimal does not grade — Spark
+    rounds the double's full binary expansion at the target scale while
+    DuckDB rounds its shortest decimal representation, 1 ulp apart on
+    dirty products; (b) scale 2 (not 6) keeps the scaled integer sum under
+    2^53 — per bucket Σdt ≤ 1 hour because dwells tile the hour, so the
+    sum is ≤ max_price·3.6e9·100 ≈ 2e14 at ANY corpus size — which makes
+    DuckDB's decimal→double (int128/10^scale, two roundings) exact and
+    therefore equal to Spark's correctly-rounded conversion. Scale shape: one window keyed by series (at
+    production scale,
+    by symbol — the same per-key discipline as every X-family scan; no
+    global order anywhere), then one map-side-combinable hash aggregate.
+    The window and the aggregate share the series key, so AQE can reuse
+    the exchange rather than shuffle twice.
+    """
+    e = events_us(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("ts_us", "event_id")
+    o = e.select(
+        F.col("event_type").alias("series"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("b0"),
+        "value",
+        "event_id",
+    ).withColumn("nxt", F.lead("ts_us").over(w))
+    end = F.col("b0") + F.lit(HOUR_US)
+    d = o.select(
+        "series",
+        "bucket",
+        "value",
+        (F.least(F.coalesce("nxt", end), end) - F.col("ts_us")).alias("dt"),
+    )
+    return d.groupBy("series", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dt").alias("dwell_us"),
+        F.when(
+            F.sum("dt") > 0,
+            F.sum(F.col("value").cast("decimal(12,2)") * F.col("dt"))
+            .cast("double")
+            / F.sum("dt").cast("double"),
+        ).alias("twap"),
     )
