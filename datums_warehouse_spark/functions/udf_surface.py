@@ -12,6 +12,7 @@ them by value (see .claude/skills/verify gotchas).
 from __future__ import annotations
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
+from typing import Iterator, Tuple  # ditto, for the iterator UDF variants
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -397,4 +398,53 @@ def d8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="month timestamp, n_events long, n_users long, "
             "n_orders long, n_urgent long",
         )
+    )
+
+
+@query(
+    "d9_iter_pandas_udf",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+        FROM lineitem
+        WHERE l_quantity >= 45
+    """,
+    tags=("D9",),
+)
+def d9_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF (D9, ``Iterator[Tuple[Series, ...]]
+    → Iterator[Series]``) — the D-surface member for EXPENSIVE
+    ONE-TIME INITIALIZATION: the function body runs once per Python
+    worker, does its setup before the loop, then streams every Arrow
+    batch of that worker's partitions through the already-initialized
+    state. The scalar variants (D2) re-enter the function per batch with
+    no place to hoist setup — for a tokenizer, an ONNX session, or a
+    compiled regex set (the LLM-pipeline norm), per-batch reload is the
+    difference between I/O-bound and setup-bound.
+
+    Here the "model" is a trivial rate table so the arithmetic stays
+    pure per-element IEEE (price·(1−disc)·(1+tax)), bit-identical to the
+    oracle like every D-surface demo. The quantity filter stays OUTSIDE
+    the UDF as a real DataFrame predicate — it reaches the parquet scan
+    (PushedFilters), which a filter buried in Python never could.
+
+    Scale: identical execution profile to D2 (Arrow batches, no pickling,
+    no driver) plus O(1) setups per worker instead of O(batches).
+    """
+    @F.pandas_udf("double")
+    def gross_of(
+        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        # one-time per-worker setup (the expensive-init slot)
+        rates = {"discount": 1.0, "tax": 1.0}
+        for price, disc, tax in batches:
+            yield price * (1 - disc * rates["discount"]) * (
+                1 + tax * rates["tax"]
+            )
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross_of("l_extendedprice", "l_discount", "l_tax").alias("gross"),
     )

@@ -1182,3 +1182,79 @@ def l37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
     )
+
+
+# --- L40: incremental dedup — new batch vs existing index ---------------------
+
+
+@query(
+    "l40_incremental_dedup",
+    oracle=f"""
+        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
+        {SQL_LSH_CAND.replace(
+            '''cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                     AND a.doc_id < b.doc_id
+        )''',
+            '''cand AS (
+            SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+            FROM bands n JOIN bands i ON n.band = i.band AND n.sig = i.sig
+            WHERE n.doc_id % 3 = 0 AND i.doc_id % 3 != 0
+        )''',
+        )},
+        {sql_jaccard_verify(JACCARD_THRESHOLD).replace(
+            "SELECT doc_a, doc_b,",
+            "SELECT doc_a AS doc_new, doc_b AS dup_of,", 1)}
+    """,
+    tags=("L40", "scale"),
+)
+def l40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: dedup a NEW ingest batch against the
+    EXISTING corpus index without re-pairing the corpus against itself —
+    the shape every continuously-crawling pipeline actually runs (full
+    self-join dedup is a backfill job; day-to-day you only ask "is this
+    new document a near-dup of anything we already have?").
+
+    The fixture splits documents deterministically (doc_id % 3 == 0 is
+    the "new batch", the rest is the standing index). Both sides share
+    one shingle→minhash pass; the LSH band join is NEW×INDEX instead of
+    the l2 self-join, so candidate count scales with |new|·bucket-hit
+    rate, NOT |corpus|²; exact-Jaccard confirm touches candidates only
+    (same verify stage as l2, size-ratio pruned).
+
+    Scale shape at 100 TB: the index side's band keys are a materialized
+    table in production (write once, reuse every ingest), so an
+    incremental run shuffles ONLY the new batch's shingles plus the
+    band-bucket probe — cost is O(new batch), independent of corpus
+    size; the equi-join on (band, sig) shards across executors and AQE
+    handles hot buckets. This plan grades the probe+confirm end-to-end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
+    sigs = minhash_signatures(sh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    new_b = bands.filter(F.col("doc_id") % 3 == 0).alias("n")
+    idx_b = bands.filter(F.col("doc_id") % 3 != 0).alias("i")
+    cand = (
+        new_b.join(
+            idx_b,
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.sig") == F.col("i.sig")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("dup_of"), "jaccard"
+    )

@@ -1369,3 +1369,141 @@ def l38_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").over(w).alias("corpus_tokens"),
         )
     )
+
+
+# --- L39: CCNet-style LM-score bucketing -------------------------------------
+
+# score_ppm = (Σ corpus-freq of the doc's bigrams × SCORE_SCALE) div #bigrams:
+# an integer-exact stand-in for a KenLM doc perplexity (higher = more fluent).
+SCORE_SCALE = 1000
+BAND_SIGMA = 0.25  # head/tail cut at mean ± 0.25σ per language
+
+
+@query(
+    "l39_perplexity_buckets",
+    oracle=f"""
+        WITH doc_bg AS (
+            SELECT doc_id, lang, unnest(list_transform(
+                range(len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i + 1] || ' '
+                     || string_split(text, ' ')[i + 2]
+            )) AS bigram
+            FROM documents
+        ),
+        counts AS (SELECT bigram, count(*) AS freq FROM doc_bg GROUP BY bigram),
+        scored AS (
+            SELECT d.doc_id, d.lang,
+                   (sum(c.freq) * {SCORE_SCALE}) // count(*) AS score_ppm
+            FROM doc_bg d JOIN counts c USING (bigram)
+            GROUP BY d.doc_id, d.lang
+        ),
+        stats AS (
+            SELECT lang, count(*) AS n,
+                   CAST(sum(score_ppm) AS BIGINT) AS s1,
+                   CAST(sum(CAST(score_ppm AS DECIMAL(38,0))
+                            * CAST(score_ppm AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS s2
+            FROM scored GROUP BY lang
+        ),
+        banded AS (
+            SELECT s.lang, s.score_ppm,
+                   CASE WHEN CAST(s.score_ppm AS DOUBLE) > mu + {BAND_SIGMA} * sigma
+                            THEN 'head'
+                        WHEN CAST(s.score_ppm AS DOUBLE) < mu - {BAND_SIGMA} * sigma
+                            THEN 'tail'
+                        ELSE 'middle' END AS bucket,
+                   t.n AS lang_n
+            FROM scored s JOIN (
+                SELECT lang, n,
+                       CAST(s1 AS DOUBLE) / n AS mu,
+                       sqrt(greatest(
+                           (CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                           / greatest(n - 1, 1), 0)) AS sigma
+                FROM stats
+            ) t USING (lang)
+        )
+        SELECT lang, bucket, count(*) AS n_docs,
+               CAST(count(*) AS DOUBLE) / lang_n AS share
+        FROM banded
+        GROUP BY lang, bucket, lang_n
+    """,
+    tags=("L39", "scale"),
+)
+def l39_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model bucketing (public Wenzek et al. 2020
+    shape): score every document with a corpus LM, then split each
+    language's documents into head / middle / tail quality bands — the
+    curation step that decides which crawl slice feeds training first.
+
+    The LM score is l32's integer-exact fluency statistic, per document:
+    (Σ corpus-frequency of the doc's bigrams · 1000) div #bigrams — an
+    integer on both engines (no log-prob libm portability hazard, no
+    dirty-double→decimal cast). CCNet cuts at per-language score
+    TERTILES; an exact distributed tertile needs a per-language global
+    rank, which at 100 TB is a per-lang sort funnel (#langs ≈ 5 tasks
+    carrying the whole corpus — the weak shape this repo eliminated in
+    l16/o6). The banding here instead cuts at mean ± 0.25σ computed from
+    exact integer sums (Σx as BIGINT, Σx² through DECIMAL(38,0); the only
+    float ops are the identical mean/σ/compare expressions both engines
+    evaluate over exact inputs) — a 5-row broadcast-joined stats table,
+    no per-lang shuffle of the corpus at all.
+
+    Scale shape: the corpus stream is shuffled exactly twice (the bigram
+    frequency join — AQE skew-splits heavy-hitter bigrams — and the
+    per-doc score aggregate); language stats collapse map-side to
+    #langs rows and come back broadcast. Output is #langs × 3 rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    doc_bg = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).select("doc_id", "lang", F.explode(bigrams_of(F.col("toks"))).alias("bigram"))
+    counts = doc_bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    scored = (
+        doc_bg.join(counts, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(f"(sum(freq) * {SCORE_SCALE}) div count(*)").alias("score_ppm")
+        )
+    )
+    sp = F.col("score_ppm").cast("decimal(38,0)")
+    stats = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_ppm").alias("s1"),
+        F.sum(sp * sp).cast("decimal(38,0)").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * mu)
+            / F.greatest(F.col("n") - 1, F.lit(1)),
+            F.lit(0.0),
+        )
+    )
+    lang_stats = stats.select(
+        "lang", F.col("n").alias("lang_n"), mu.alias("mu"), sigma.alias("sigma")
+    )
+    banded = scored.join(F.broadcast(lang_stats), "lang").select(
+        "lang",
+        "lang_n",
+        F.when(
+            F.col("score_ppm").cast("double")
+            > F.col("mu") + BAND_SIGMA * F.col("sigma"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("score_ppm").cast("double")
+            < F.col("mu") - BAND_SIGMA * F.col("sigma"),
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )
+    return banded.groupBy("lang", "bucket", "lang_n").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        "lang",
+        "bucket",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("lang_n")).alias("share"),
+    )

@@ -178,20 +178,19 @@ _GRADE_FRONT = (
     "l33_dup_passages", "l33_passage_scrub",
     # changed after their latest driver row (t7/t10: promoted from
     # rows-only to full oracles mid-round-8 — they take the u1/u2 refresh
-    # slots, which move to r09)
+    # slots, which move to r09; t8 promoted rows-only → full interval-join
+    # oracle late round-8)
     "t4_watermark_stream", "x7_rolling_corr", "l2_dedup_clusters",
     "l29_dedup_materialize", "l32_bigram_fluency",
-    "t7_stream_sink", "t10_session_stream",
+    "t7_stream_sink", "t10_session_stream", "t8_stream_stream_join",
     # r01-era evidence
     "u3_intersect", "u4_except",
     # r04-era evidence (all 35)
     "a8_candles_1h", "t1_candles_1d_tumbling", "x1_resample_1h_to_1d",
     "a8_candles_vwap", "p8_table_profile",
-    "j5_semi_join", "j6_anti_join", "j7_cross_join", "j8_range_join",
-    "j10_self_join_funnel",
-    "a1_pricing_summary", "a2_global_cursor", "a3_count_distinct",
-    "a4_approx_count_distinct", "a5_rollup",
-    "a9_pivot", "a10_stats", "a11_collect_list",
+    "j8_range_join", "j10_self_join_funnel",
+    "a1_pricing_summary", "a4_approx_count_distinct",
+    "a10_stats", "a11_collect_list",
     "a5_grouping_sets", "a1_salted_two_stage",
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
@@ -207,6 +206,12 @@ _GRADE_FRONT = (
     "d8_cogroup_pandas", "l37_minhash_calibration", "s15_schema_evolution",
     "u6_intersect_all", "j14_null_safe_join", "l38_vocab_growth",
     "a12_kmv_distinct",
+    # final round-8 additions (never graded — they take the j5/j6/j7/a2/
+    # a3/a5_rollup/a9_pivot refresh slots, which move to r09: trivial
+    # semi/anti/cross-join and single-table-agg shapes over non-ts tables
+    # are the lowest-staleness-risk refreshes to delay)
+    "x11_twap", "s16_scd2_history", "s17_dynamic_overwrite",
+    "d9_iter_pandas_udf", "l39_perplexity_buckets", "l40_incremental_dedup",
 )
 
 

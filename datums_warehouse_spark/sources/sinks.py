@@ -16,7 +16,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import dsum, sql_dsum
@@ -584,3 +584,132 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.filter(F.col("event_id") % 2 == 1).write.parquet(v2)
     merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
     return _event_agg(merged)
+
+
+# --- S16: SCD Type-2 dimension history ---------------------------------------
+
+
+@query(
+    "s16_scd2_history",
+    oracle="""
+        WITH snap AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+                   lag(o_orderpriority) OVER w AS prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        chg AS (
+            SELECT * FROM snap WHERE prev IS NULL OR prev != o_orderpriority
+        )
+        SELECT o_custkey,
+               o_orderpriority AS priority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w2 AS valid_to,
+               CAST(row_number() OVER w2 AS BIGINT) AS version,
+               lead(o_orderdate) OVER w2 IS NULL AS is_current
+        FROM chg
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("S16",),
+)
+def s16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build — compress an attribute's observation
+    stream into validity intervals, the standard way a warehouse tracks
+    slowly-changing dimension attributes (Kimball's type-2 history).
+
+    Each order is treated as an observed snapshot of its customer's
+    priority tier, in (o_orderdate, o_orderkey) order. Change-point
+    compression keeps only rows where the attribute differs from the
+    previous observation; each survivor becomes a version row with
+    [valid_from, valid_to) bounds (valid_to = next change's valid_from,
+    NULL = current) and a per-key version number. Same-day flips produce
+    zero-length intervals deterministically (orderkey tie-break) rather
+    than ambiguous ordering.
+
+    Scale shape: two window passes both keyed by o_custkey — the change
+    filter and the lead/version stamp share one partitioning, so Catalyst
+    plans a single sort+exchange reused by both WindowExecs; no global
+    order, no join. At 100 TB the dimension shards by key like every
+    W-family operator; appending a new snapshot day re-runs the same plan
+    over (existing current rows ∪ new snapshot), the standard incremental
+    SCD2 merge.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = o.withColumn("prev", F.lag("o_orderpriority").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return chg.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )
+
+
+# --- S17: dynamic partition overwrite (partition restatement) -----------------
+
+
+@query(
+    "s17_dynamic_overwrite",
+    oracle=f"""
+        WITH e AS (
+            SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, value
+            FROM events
+        ),
+        mn AS (SELECT min(day) AS d0 FROM e)
+        SELECT day, count(*) AS n,
+               {sql_dsum("CASE WHEN day = d0 THEN value * 2 ELSE value END")}
+                   AS total_value
+        FROM e CROSS JOIN mn
+        GROUP BY day
+    """,
+    tags=("S17", "eager"),
+)
+def s17_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the backfill/restatement primitive: a
+    corrected batch for ONE day replaces exactly that day's partition
+    while every other partition survives untouched (static overwrite mode
+    would wipe the whole table; per-partition rewrites without the mode
+    race against readers).
+
+    Round-trip under grade: (1) full load partitioned by day; (2) restate
+    the earliest day with doubled values through
+    ``partitionOverwriteMode=dynamic`` + ``mode("overwrite")`` — Spark
+    discovers the incoming day values and rewrites only those directories;
+    (3) the graded per-day aggregate runs over the final store, so a hash
+    match proves BOTH that the restated day carries the new values and
+    that all other days kept the originals.
+
+    The restated day is selected with a 1-row min aggregate attached
+    broadcast-side (no driver collect). At 100 TB this is the nightly
+    correction pattern: the rewrite cost is O(restated partitions), the
+    reader-visible switch is the atomic directory swap.
+    """
+    from datums_warehouse_spark.session import scoped_conf
+
+    out = _sink_dir("s17_dynamic_overwrite", sf_dir)
+    e = events_us(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    e.write.partitionBy("day").parquet(out)
+    bounds = e.agg(F.min("day").alias("d0"))
+    restated = (
+        e.join(F.broadcast(bounds), F.col("day") == F.col("d0"))
+        .drop("d0")
+        .withColumn("value", F.col("value") * 2)
+    )
+    with scoped_conf(
+        spark, **{"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        restated.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).withColumn("day", F.col("day").cast("string"))
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )

@@ -423,17 +423,41 @@ def t9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(store)
 
 
-@query("t8_stream_stream_join", tags=("T8", "stream", "eager"))
+@query(
+    "t8_stream_stream_join",
+    oracle="""
+        SELECT p.user_id AS user_id, count(*) AS n_pairs
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        GROUP BY p.user_id
+    """,
+    tags=("T8", "stream", "eager"),
+)
 def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase matched to
     the same user's clicks in the preceding 30 minutes, run as a genuine
-    two-stream microbatch join (rows-only; comp3_funnel_conversion is the
+    two-stream microbatch join (comp3_funnel_conversion is the
     batch-graded twin of this shape).
 
-    Both sides carry watermarks and the join has a bounded time range, so
-    Spark can evict buffered rows once the watermark passes — state stays
-    O(30-minute window per user), not O(stream history); the join keys on
-    user_id, which shards state across executors.
+    Hash-graded (was rows-only through r07): an INNER stream-stream join
+    emits every matched pair exactly once — watermarks only bound state
+    eviction and late-input admission, so the emitted set equals the
+    batch interval join whenever no input row arrives after the watermark
+    has passed it. Two structural facts make that hold here: (a) the
+    graded runs stage the source as parquet files consumed with NO
+    maxFilesPerTrigger limit, so availableNow drains everything in one
+    microbatch — the watermark (computed at batch START, so the first
+    batch runs with watermark 0) cannot evict or reject anything before
+    the join completes; (b) the per-user pair-count aggregate keys the
+    result deterministically regardless of emission order. On a true
+    unbounded feed the same query stays correct for inputs whose disorder
+    is under the 1 h watermark delay — the documented contract of the
+    operator — while state stays O(1 h × active users), sharded by the
+    user_id join key, not O(stream history).
     """
     name = f"t8_ssj_{uuid.uuid4().hex[:8]}"
     clicks = (

@@ -14,7 +14,7 @@ from datums_warehouse_spark import all_queries
 # T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
 # the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 16)]         # scans/sinks/connectors/compaction/vacuum/diff/evolution
+    [f"s{i}" for i in range(1, 18)]         # scans/sinks/connectors/maintenance (incl. S16 SCD2, S17 dynamic overwrite)
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 15)]       # joins (J11 salted, J12 bloom, J13 interval, J14 null-safe)
     + [f"a{i}" for i in range(1, 13)]       # aggregations (incl. A12 KMV sketch)
@@ -23,9 +23,9 @@ INVENTORY = (
     + [f"u{i}" for i in range(1, 7)]        # set ops (incl. EXCEPT ALL, INTERSECT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
-    + [f"x{i}" for i in range(1, 11)]       # time-series specials (incl. X10 drawdown)
-    + [f"l{i}" for i in range(1, 39)]       # LLM pipeline (incl. L33-L38 additions)
-    + [f"d{i}" for i in range(1, 9)]        # UDF surface (incl. D7 mapInArrow, D8 cogroup)
+    + [f"x{i}" for i in range(1, 12)]       # time-series specials (incl. X11 TWAP)
+    + [f"l{i}" for i in range(1, 41)]       # LLM pipeline (incl. L39 CCNet buckets, L40 incremental dedup)
+    + [f"d{i}" for i in range(1, 10)]       # UDF surface (incl. D8 cogroup, D9 iterator UDF)
 )
 
 
@@ -129,9 +129,6 @@ def test_sql_expressible_rows_have_oracles():
         "a4_approx_count_distinct",  # HLL sketch ≠ DuckDB's
         "l3_lsh_ann",                # MLlib model hashing
         "t6_stateful_stream",        # applyInPandasWithState, genuine stream
-        "t8_stream_stream_join",     # genuine two-stream join run: pair
-                                     # emission timing couples to microbatch
-                                     # split (comp3 is its batch-graded twin)
         "o5_table_sample",           # sampling RNG is engine-specific
         "o5_stratified_sample",      # sampling RNG is engine-specific
     }

@@ -42,6 +42,7 @@ PANDAS_ALLOWED = {
     "d6_arrow_udf",            # Arrow-path scalar UDF (useArrow=True)
     "d7_map_in_arrow",         # raw RecordBatch mapInArrow demo
     "d8_cogroup_pandas",       # cogrouped-map applyInPandas demo
+    "d9_iter_pandas_udf",      # iterator pandas UDF (per-worker init) demo
     "x6_ema",                  # recursive filter: y[i] = f(y[i-1])
     "x3b_interpolate_scaled",  # chunked applyInPandas interpolation
     "l9_multimodal_features",  # mapInPandas binary feature extraction
