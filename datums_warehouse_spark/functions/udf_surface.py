@@ -448,3 +448,75 @@ def d9_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         gross_of("l_extendedprice", "l_discount", "l_tax").alias("gross"),
     )
+
+
+@query(
+    "d10_udtf_table_arg",
+    oracle="""
+        WITH o AS (
+            SELECT event_type AS series, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events
+        )
+        SELECT series, count(*) AS n,
+               CAST(max(ts_us - prev_us) AS BIGINT) AS max_gap_us
+        FROM o GROUP BY series
+    """,
+    tags=("D10",),
+)
+def d10_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument (D10, Spark ≥3.5 ``TABLE(...)
+    PARTITION BY ... ORDER BY``): the engine hands the UDTF each
+    partition's rows IN ORDER, and per-partition state lives across
+    ``eval`` calls until ``terminate`` flushes — the surface for
+    sequential per-key algorithms (tokenizer streaming, session
+    reconstruction, custom gap logic) that a scalar UDF cannot express
+    and a grouped-map UDF would re-buffer wholesale.
+
+    The demo computes each series' max inter-event gap in integer
+    microseconds (exact lag/subtract/max — the oracle reproduces it with
+    a window), holding ONE running (prev_ts, max_gap, n) triple per
+    partition: O(1) state per key regardless of partition size, the same
+    bound applyInPandasWithState gives streams. PARTITION BY shards keys
+    across executors like any keyed shuffle at 100 TB.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="series string, n bigint, max_gap_us bigint")
+    class SeriesGaps:
+        def __init__(self):
+            self.series = None
+            self.prev = None
+            self.max_gap = None
+            self.n = 0
+
+        def eval(self, row):
+            # TABLE-argument UDTFs receive each input row as one Row arg
+            self.series = row["series"]
+            self.n += 1
+            ts_us = row["ts_us"]
+            if self.prev is not None:
+                gap = ts_us - self.prev
+                self.max_gap = gap if self.max_gap is None else max(self.max_gap, gap)
+            self.prev = ts_us
+
+        def terminate(self):
+            if self.series is not None:
+                yield self.series, self.n, self.max_gap
+
+    spark.udtf.register("series_gaps", SeriesGaps)
+    events_us(spark, sf_dir).select(
+        F.col("event_type").alias("series"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    ).createOrReplaceTempView("d10_events")
+    return spark.sql(
+        """
+        SELECT series, n, max_gap_us FROM series_gaps(
+            TABLE(SELECT series, ts_us FROM d10_events)
+            PARTITION BY series ORDER BY ts_us
+        )
+        """
+    )

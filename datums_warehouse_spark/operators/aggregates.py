@@ -430,3 +430,70 @@ def a12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kth, "event_type").select(
         "event_type", "n_exact", est.alias("kmv_estimate")
     )
+
+
+# --- A13: equi-width value histogram ------------------------------------------
+
+HIST_WIDTH = 25.0  # value-units per bin (events.value spans ~[0, 600])
+HIST_BINS = 24     # overflow clamps into the last bin
+
+
+@query(
+    "a13_value_histogram",
+    oracle=f"""
+        WITH binned AS (
+            SELECT event_type AS series,
+                   least(CAST(floor(value / {HIST_WIDTH}) AS BIGINT),
+                         {HIST_BINS - 1}) AS bin,
+                   value
+            FROM events
+        )
+        SELECT series, bin,
+               bin * {HIST_WIDTH} AS lo,
+               (bin + 1) * {HIST_WIDTH} AS hi,
+               count(*) AS n,
+               min(value) AS v_min,
+               max(value) AS v_max
+        FROM binned
+        GROUP BY series, bin
+    """,
+    tags=("A13",),
+)
+def a13_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per series (A13) — the distribution
+    profile an optimizer's column statistics, a monitoring dashboard, or
+    a data-quality drift check is built from; the binned complement of
+    a10's summary statistics and l30's equi-DEPTH deciles (fixed bin
+    edges here, fixed bin mass there).
+
+    Bin assignment is row-local integer arithmetic — floor(value/width)
+    clamped into the top bin — so the corpus is never sorted or ranked:
+    one map-side-combinable hash aggregate, output bounded by
+    series × bins regardless of data volume. floor of an IEEE division
+    is deterministic cross-engine (identical double in, identical bin
+    out); min/max per bin carry raw stored values, so the whole row is
+    hash-exact. At 100 TB this is the profile you compute per partition
+    and merge — the aggregate is associative by construction.
+    """
+    e = events_us(spark, sf_dir)
+    bin_col = F.least(
+        F.floor(F.col("value") / HIST_WIDTH).cast("long"), F.lit(HIST_BINS - 1)
+    )
+    return (
+        e.select(F.col("event_type").alias("series"), bin_col.alias("bin"), "value")
+        .groupBy("series", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .select(
+            "series",
+            "bin",
+            (F.col("bin") * HIST_WIDTH).alias("lo"),
+            ((F.col("bin") + 1) * HIST_WIDTH).alias("hi"),
+            "n",
+            "v_min",
+            "v_max",
+        )
+    )

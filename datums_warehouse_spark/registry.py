@@ -190,8 +190,6 @@ _GRADE_FRONT = (
     "a8_candles_vwap", "p8_table_profile",
     "j8_range_join", "j10_self_join_funnel",
     "a1_pricing_summary", "a4_approx_count_distinct",
-    "a10_stats", "a11_collect_list",
-    "a5_grouping_sets", "a1_salted_two_stage",
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
     # new round-8 operators (never graded — they take the six r05-refresh
@@ -212,6 +210,12 @@ _GRADE_FRONT = (
     # are the lowest-staleness-risk refreshes to delay)
     "x11_twap", "s16_scd2_history", "s17_dynamic_overwrite",
     "d9_iter_pandas_udf", "l39_perplexity_buckets", "l40_incremental_dedup",
+    # closing additions (never graded — they take the a10/a11/
+    # a5_grouping_sets/a1_salted refresh slots, which move to r09: all
+    # four are non-ts single-table agg shapes, the lowest-staleness-risk
+    # refreshes to delay)
+    "s18_time_travel", "t14_stream_outer_join", "a13_value_histogram",
+    "d10_udtf_table_arg",
 )
 
 

@@ -713,3 +713,76 @@ def s17_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
+
+
+# --- S18: manifest versions / time-travel read --------------------------------
+
+
+@query(
+    "s18_time_travel",
+    oracle=f"""
+        SELECT 1 AS version, event_type, count(*) AS n,
+               {sql_dsum("value")} AS total_value
+        FROM events WHERE event_id % 2 = 0
+        GROUP BY event_type
+        UNION ALL
+        SELECT 2 AS version, event_type, count(*) AS n,
+               {sql_dsum("value")} AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("S18", "eager"),
+)
+def s18_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel over versioned manifests — the
+    poor-man's-Iceberg capability a plain parquet directory lacks: every
+    commit publishes an immutable manifest listing exactly the files of
+    that version, and a reader resolves a version's file SET instead of
+    listing the directory, so late appends never bleed into an older
+    snapshot ("AS OF" reads, reproducible backfills, audit reruns).
+
+    Round-trip under grade: (1) commit v1 = the even-id half of events,
+    manifest _MANIFEST.v1; (2) commit v2 = v1's files PLUS the odd-id
+    half's new files (append commit — v1 files are never rewritten),
+    manifest _MANIFEST.v2; (3) read BOTH versions purely from their
+    manifests — passing each version's explicit file list to the parquet
+    scan — and grade the per-version aggregates in one frame. A
+    time-travel bug is unmissable: v1 bleeding v2's files doubles n at
+    version 1, a missing append shrinks version 2.
+
+    Scale shape: version resolution is O(#files) manifest I/O at planning
+    time, zero data movement (same class as s15's footer merge); the scan
+    itself is a normal pruned columnar read. At 100 TB the manifest lives
+    in a catalog/metastore and carries per-file column stats for pruning —
+    same contract, indexed.
+    """
+    out = _sink_dir("s18_time_travel", sf_dir)
+    e = events_us(spark, sf_dir).select("event_id", "event_type", "value")
+    v1_dir, v2_dir = os.path.join(out, "c1"), os.path.join(out, "c2")
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(v1_dir)
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(v2_dir)
+
+    def parts(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    manifests = {1: parts(v1_dir), 2: parts(v1_dir) + parts(v2_dir)}
+    for v, files in manifests.items():
+        with open(os.path.join(out, f"_MANIFEST.v{v}"), "w") as fh:
+            fh.writelines(f"{p}\n" for p in files)
+
+    frames = []
+    for v in (1, 2):
+        files = [
+            line.strip()
+            for line in open(os.path.join(out, f"_MANIFEST.v{v}"))
+            if line.strip()
+        ]
+        snap = spark.read.parquet(*files)
+        frames.append(
+            snap.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+            .select(F.lit(v).alias("version"), "event_type", "n", "total_value")
+        )
+    return frames[0].unionByName(frames[1])

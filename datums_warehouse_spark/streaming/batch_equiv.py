@@ -675,3 +675,119 @@ def t13_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
     return spark.table(name)
+
+
+@query(
+    "t14_stream_outer_join",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        wm AS (
+            SELECT least((SELECT max(click_ts) FROM c),
+                         (SELECT max(purchase_ts) FROM p))
+                   - INTERVAL 1 HOUR AS w
+        ),
+        matched AS (
+            SELECT p.user_id, p.event_id
+            FROM p JOIN c
+              ON c.user_id = p.user_id
+             AND c.click_ts <= p.purchase_ts
+             AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+        ),
+        m_agg AS (
+            SELECT user_id,
+                   count(*) AS n_matched,
+                   count(DISTINCT event_id) AS matched_purchases
+            FROM matched GROUP BY user_id
+        ),
+        u_agg AS (
+            SELECT p.user_id, count(*) AS n_unmatched
+            FROM p CROSS JOIN wm
+            WHERE p.purchase_ts < wm.w
+              AND NOT EXISTS (
+                  SELECT 1 FROM c
+                  WHERE c.user_id = p.user_id
+                    AND c.click_ts <= p.purchase_ts
+                    AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+              )
+            GROUP BY p.user_id
+        )
+        SELECT coalesce(m.user_id, u.user_id) AS user_id,
+               coalesce(m.n_matched, 0) AS n_matched,
+               coalesce(m.matched_purchases, 0) AS matched_purchases,
+               coalesce(u.n_unmatched, 0) AS n_unmatched
+        FROM m_agg m FULL OUTER JOIN u_agg u ON m.user_id = u.user_id
+    """,
+    tags=("T14", "stream", "eager"),
+)
+def t14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — t8's inner join answers
+    "which purchases had a preceding click"; the outer variant also emits
+    the purchases that provably had NONE, which is the attribution /
+    conversion-gap question. Outer emission is the genuinely streaming
+    semantics here: a purchase can only be declared click-less once the
+    watermark guarantees no admissible click can still arrive, so
+    null-padded rows flush on state EXPIRY, not on sight.
+
+    Hash-graded via the finalized-subset argument (t4/t10's pattern, on
+    join state instead of window state): matched pairs emit exactly like
+    t8's inner join (single availableNow drain — see t8), and the
+    null-padded set is deterministic: availableNow's closing no-data
+    batch advances the global watermark to min(max click_ts,
+    max purchase_ts) − 1 h (Spark's multipleWatermarkPolicy=min over
+    both inputs), and every still-unmatched buffered purchase with
+    purchase_ts strictly below it expires → emits with NULL click
+    columns. Purchases inside the final watermark window remain buffered
+    and unemitted on BOTH engines (the oracle's wm predicate). The
+    per-user rollup (matched pairs, matched distinct purchases,
+    unmatched purchases) keys the grade deterministically.
+
+    State at scale: O(1 h × active users) per side, sharded by user_id;
+    the outer side adds only the expiry timers — same bound as t8.
+    """
+    name = f"t14_soj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("event_id"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("user_id", "event_id", "purchase_ts", "click_ts")
+    with _few_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    raw = spark.table(name)
+    return raw.groupBy("user_id").agg(
+        F.count(F.when(F.col("click_ts").isNotNull(), 1)).alias("n_matched"),
+        F.countDistinct(
+            F.when(F.col("click_ts").isNotNull(), F.col("event_id"))
+        ).alias("matched_purchases"),
+        F.count(F.when(F.col("click_ts").isNull(), 1)).alias("n_unmatched"),
+    )

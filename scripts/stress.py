@@ -126,6 +126,33 @@ QUERIES = [
     "j14_null_safe_join",
     "l38_vocab_growth",
     "a12_kmv_distinct",
+    # final round-8 additions: TWAP (series-keyed lead window + decimal
+    # agg), SCD2 change-point compression (two custkey windows, one
+    # exchange), the dynamic-partition-overwrite restatement round-trip
+    # (eager double write of the events table), the iterator pandas UDF
+    # (Arrow batches through Python workers), and the CCNet band report
+    # (bigram self-join + broadcast lang stats). All direct-oracle-
+    # checkable at every multiplier. l40 rides the LSH pipeline, so it
+    # shares the dedup family's 8× direct ceiling and gets the analytic
+    # replication-model oracle at 32×. (t8_stream_stream_join is NOT in
+    # the sweep: replicated copies keep user_id and ±µs timestamps, so
+    # its raw-pair memory sink grows M² into driver memory by design —
+    # the batch twin of its shape scales via comp3/j13.)
+    "x11_twap",
+    "s16_scd2_history",
+    "s17_dynamic_overwrite",
+    "d9_iter_pandas_udf",
+    "l39_perplexity_buckets",
+    "l40_incremental_dedup",
+    # the equi-width histogram (one hash agg, output bounded by
+    # series×bins) and the manifest time-travel read (two version scans
+    # resolved by explicit file list — planning-time metadata work).
+    # d10_udtf_table_arg stays out like the other row-at-a-time D-surface
+    # demos (d1/d4/d5 — the deliberate slow path is not a scaling claim);
+    # t14_stream_outer_join stays out for t8's reason (M² raw-pair memory
+    # sink under replication, by construction of the scaled layout).
+    "a13_value_histogram",
+    "s18_time_travel",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:
@@ -146,6 +173,7 @@ ORACLE_MAX_MULT = {
     "l2_dedup_clusters": 8,
     "l26_cross_split_leakage": 8,  # rides the full LSH pair pipeline
     "l29_dedup_materialize": 8,    # rides the full LSH pair pipeline
+    "l40_incremental_dedup": 8,    # rides the full LSH pair pipeline
 }
 ANALYTIC = set(ORACLE_MAX_MULT)
 
@@ -232,10 +260,12 @@ def _expected_clusters(base: dict, mult: int) -> pd.DataFrame:
     )
 
 
-def _expected_frame(name: str, qs, mult: int, sf_dir: str) -> pd.DataFrame:
+def _expected_frame(
+    name: str, qs, mult: int, sf_dir: str, base: dict | None = None
+) -> pd.DataFrame:
     from datums_warehouse_spark.llm.splits import SQL_SPLITS
 
-    base = _dedup_base(qs)
+    base = base or _dedup_base(qs)
     if name == "l2_minhash_lsh_pairs":
         return _expected_pairs(base, mult)
     if name == "l2_dedup_clusters":
@@ -258,6 +288,25 @@ def _expected_frame(name: str, qs, mult: int, sf_dir: str) -> pd.DataFrame:
             .groupby(["split_lo", "split_hi"], as_index=False)
             .size()
             .rename(columns={"size": "n_leaked_pairs"})
+        )
+    if name == "l40_incremental_dedup":
+        # the M× pair universe filtered to pairs crossing the new/index
+        # wall, re-oriented (new side first). Copies change doc_id % 3
+        # (the stride need not be divisible by 3), which is exactly why
+        # this is derived from the FULL expected pair set rather than by
+        # replicating the 1× l40 output.
+        pairs = _expected_pairs(base, mult)
+        a = pairs["doc_a"].to_numpy()
+        b = pairs["doc_b"].to_numpy()
+        j = pairs["jaccard"].to_numpy()
+        a_new = (a % 3 == 0) & (b % 3 != 0)
+        b_new = (b % 3 == 0) & (a % 3 != 0)
+        return pd.DataFrame(
+            {
+                "doc_new": np.concatenate([a[a_new], b[b_new]]),
+                "dup_of": np.concatenate([b[a_new], a[b_new]]),
+                "jaccard": np.concatenate([j[a_new], j[b_new]]),
+            }
         )
     if name == "l29_dedup_materialize":
         cl = _expected_clusters(base, mult)

@@ -163,6 +163,7 @@ def test_analytic_replication_oracle_matches_direct(duck, sf_dir):
     )
     direct_pairs = con.execute(qs["l2_minhash_lsh_pairs"].oracle).fetchdf()
     direct_clusters = con.execute(qs["l2_dedup_clusters"].oracle).fetchdf()
+    direct_incr = con.execute(qs["l40_incremental_dedup"].oracle).fetchdf()
     con.close()
 
     assert stress._frames_equal_exact(
@@ -171,3 +172,7 @@ def test_analytic_replication_oracle_matches_direct(duck, sf_dir):
     assert stress._frames_equal_exact(
         direct_clusters, stress._expected_clusters(base, m)
     ), "analytic cluster expectation diverged from the direct DuckDB oracle"
+    assert stress._frames_equal_exact(
+        direct_incr,
+        stress._expected_frame("l40_incremental_dedup", qs, m, sf_dir, base=base),
+    ), "analytic incremental-dedup expectation diverged from the direct oracle"

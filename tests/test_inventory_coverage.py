@@ -14,18 +14,18 @@ from datums_warehouse_spark import all_queries
 # T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
 # the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 18)]         # scans/sinks/connectors/maintenance (incl. S16 SCD2, S17 dynamic overwrite)
+    [f"s{i}" for i in range(1, 19)]         # scans/sinks/connectors/maintenance (incl. S16 SCD2, S17 overwrite, S18 time travel)
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 15)]       # joins (J11 salted, J12 bloom, J13 interval, J14 null-safe)
-    + [f"a{i}" for i in range(1, 13)]       # aggregations (incl. A12 KMV sketch)
+    + [f"a{i}" for i in range(1, 14)]       # aggregations (incl. A12 KMV sketch, A13 histogram)
     + [f"w{i}" for i in range(1, 10)]       # windows
     + [f"o{i}" for i in range(1, 8)]        # sort / limit / top-k / sample / zorder / hash-sample
     + [f"u{i}" for i in range(1, 7)]        # set ops (incl. EXCEPT ALL, INTERSECT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
-    + [f"t{i}" for i in range(1, 14)]       # streaming (incl. T13 stream dedup)
+    + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
     + [f"x{i}" for i in range(1, 12)]       # time-series specials (incl. X11 TWAP)
     + [f"l{i}" for i in range(1, 41)]       # LLM pipeline (incl. L39 CCNet buckets, L40 incremental dedup)
-    + [f"d{i}" for i in range(1, 10)]       # UDF surface (incl. D8 cogroup, D9 iterator UDF)
+    + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )
 
 

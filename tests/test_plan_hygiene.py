@@ -30,7 +30,8 @@ CONSTRUCTION_RUNS = eager_names()
 
 # The deliberate row-at-a-time UDF surface (SURVEY.md §2.12) — the point of
 # these queries IS the slow path, demonstrated and graded as such.
-ROW_UDF_ALLOWED = {"d1_scalar_udf", "d4_python_udtf", "d5_sql_registration"}
+ROW_UDF_ALLOWED = {"d1_scalar_udf", "d4_python_udtf", "d5_sql_registration",
+                   "d10_udtf_table_arg"}
 
 # Arrow-batched Python: the sanctioned escape hatches where built-ins
 # genuinely can't express the semantics (recursive EMA state, grouped
