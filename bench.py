@@ -71,6 +71,20 @@ def main() -> None:
         else repeats
     )
     spark = get_spark("bench")
+    # Machine-speed calibration: fixed synthetic work (no I/O, no shuffle —
+    # one codegen'd range-agg) whose wall time tracks the sandbox's CPU
+    # speed that round. r03→r04 and r07→r08 both showed uniform ~1.4×
+    # swings across ALL queries with zero code delta; dividing headline
+    # times by this number makes rounds comparable. Median of 3.
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _calib()  # warm
+    calibration = round(statistics.median(_calib() for _ in range(3)), 3)
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # warm pass: JVM JIT, parquet footers, plan compilation — measured passes
@@ -106,7 +120,14 @@ def main() -> None:
                 "legacy_12_total": round(
                     sum(t for n, t in timings.items() if n in HEADLINE[:12]), 3
                 ),
+                # the r07 comparison set (BENCH_r07's 18 queries) — the
+                # round-8 additions widened the headline to 20, so this
+                # subtotal keeps r07→r08 deltas like-for-like
+                "prev_18_total": round(
+                    sum(t for n, t in timings.items() if n in HEADLINE[:18]), 3
+                ),
                 "sf": sf,
+                "calibration_sec": calibration,
                 "repeats": repeats,
                 "repeats_noisy": {n: noisy_repeats for n in noisy if n in runs},
                 "spread": {

@@ -515,8 +515,8 @@ def d10_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT series, n, max_gap_us FROM series_gaps(
-            TABLE(SELECT series, ts_us FROM d10_events)
-            PARTITION BY series ORDER BY ts_us
+            TABLE(SELECT series, ts_us, event_id FROM d10_events)
+            PARTITION BY series ORDER BY (ts_us, event_id)
         )
         """
     )

@@ -259,14 +259,19 @@ def l1_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
-SQL_LSH_CAND = f"""
+# The (sigs, bands) CTE prefix shared by every LSH oracle — l2/l37's
+# self-join cand (SQL_LSH_CAND) and l40's cross-wall cand both append
+# their own cand CTE to this, so the banding format has ONE definition.
+SQL_LSH_BANDS = f"""
         sigs AS ({SQL_SIGNATURES.replace(SQL_SHINGLES, "SELECT * FROM sh")}),
         bands AS (
             {" UNION ALL ".join(
                 f"SELECT doc_id, {b} AS band, concat(mh{2*b}, '_', mh{2*b+1}) AS sig FROM sigs"
                 for b in range(N_BANDS)
             )}
-        ),
+        )"""
+
+SQL_LSH_CAND = f"""{SQL_LSH_BANDS},
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -275,11 +280,11 @@ SQL_LSH_CAND = f"""
 """
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Banded LSH candidate pairs (doc_a < doc_b) from minhash signatures:
-    explode each doc into its N_BANDS (band, sig) bucket keys, self-join on
-    the bucket — never all-pairs. Shared by l2's dedup pipeline and l37's
-    calibration so the two can never desynchronize on banding."""
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Explode minhash signatures into their N_BANDS (doc_id, band, sig)
+    LSH bucket keys — the ONE Spark-side definition of the banding format
+    (mh-pair indices, '_' separator), shared by lsh_candidates' self-join
+    and l40's new-vs-index probe so consumers can never desynchronize."""
     band_structs = F.array(
         *[
             F.struct(
@@ -289,9 +294,17 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from minhash signatures:
+    explode each doc into its N_BANDS (band, sig) bucket keys, self-join on
+    the bucket — never all-pairs. Shared by l2's dedup pipeline and l37's
+    calibration so the two can never desynchronize on banding."""
+    bands = lsh_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1189,23 +1202,22 @@ def l37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l40_incremental_dedup",
+    # composed from the SAME shared pieces as l2's oracle (SQL_LSH_BANDS +
+    # sql_jaccard_verify) — only the cand CTE differs (cross-wall probe
+    # instead of self-join) and an outer SELECT renames the pair columns;
+    # no string surgery, so a formatting edit to either shared piece can't
+    # silently regress this to the self-join.
     oracle=f"""
-        WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
-        {SQL_LSH_CAND.replace(
-            '''cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                                     AND a.doc_id < b.doc_id
-        )''',
-            '''cand AS (
-            SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
-            FROM bands n JOIN bands i ON n.band = i.band AND n.sig = i.sig
-            WHERE n.doc_id % 3 = 0 AND i.doc_id % 3 != 0
-        )''',
-        )},
-        {sql_jaccard_verify(JACCARD_THRESHOLD).replace(
-            "SELECT doc_a, doc_b,",
-            "SELECT doc_a AS doc_new, doc_b AS dup_of,", 1)}
+        SELECT doc_a AS doc_new, doc_b AS dup_of, jaccard FROM (
+            WITH sh AS MATERIALIZED ({SQL_SHINGLES}),
+            {SQL_LSH_BANDS},
+            cand AS (
+                SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+                FROM bands n JOIN bands i ON n.band = i.band AND n.sig = i.sig
+                WHERE n.doc_id % 3 = 0 AND i.doc_id % 3 != 0
+            ),
+            {sql_jaccard_verify(JACCARD_THRESHOLD)}
+        )
     """,
     tags=("L40", "scale"),
 )
@@ -1233,18 +1245,7 @@ def l40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
     sigs = minhash_signatures(sh)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}").alias("sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    bands = lsh_bands(sigs)
     new_b = bands.filter(F.col("doc_id") % 3 == 0).alias("n")
     idx_b = bands.filter(F.col("doc_id") % 3 != 0).alias("i")
     cand = (

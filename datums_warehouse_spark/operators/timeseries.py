@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datums_warehouse_spark.functions.determinism import DEC, dsum, sql_dsum
+from datums_warehouse_spark.functions.determinism import DEC, dsum
 from datums_warehouse_spark.registry import query
 from datums_warehouse_spark.sources.tables import events_us
 

@@ -642,14 +642,13 @@ def s16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = o.withColumn("prev", F.lag("o_orderpriority").over(w)).filter(
         F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
     )
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return chg.select(
         "o_custkey",
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w2).alias("valid_to"),
-        F.row_number().over(w2).cast("long").alias("version"),
-        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
 
 

@@ -426,9 +426,13 @@ def t9_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t8_stream_stream_join",
     oracle="""
+        WITH e AS (
+            -- µs cast: Spark sees ts truncated to micros (tables.py rule)
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        )
         SELECT p.user_id AS user_id, count(*) AS n_pairs
-        FROM events p
-        JOIN events c
+        FROM e p
+        JOIN e c
           ON c.user_id = p.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND c.ts <= p.ts
