@@ -1057,3 +1057,78 @@ def x11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt").cast("double"),
         ).alias("twap"),
     )
+
+
+# --- X12: cohort retention ----------------------------------------------------
+
+
+@query(
+    "x12_cohort_retention",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(day) AS c0 FROM act GROUP BY user_id
+        ),
+        sizes AS (SELECT c0, count(*) AS cohort_size FROM cohort GROUP BY c0)
+        SELECT c.c0 AS cohort_day,
+               CAST(datediff('day', c.c0, a.day) AS BIGINT) AS day_offset,
+               count(*) AS n_active,
+               s.cohort_size,
+               CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+        FROM act a
+        JOIN cohort c USING (user_id)
+        JOIN sizes s ON s.c0 = c.c0
+        GROUP BY c.c0, day_offset, s.cohort_size
+    """,
+    tags=("X12",),
+)
+def x12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic warehouse engagement report:
+    users grouped by the day they first appeared (their cohort), then for
+    every later day the fraction of that cohort still active. The output
+    is the triangular (cohort_day, day_offset) grid a retention heatmap
+    renders.
+
+    All counts are integers and the offset is exact day arithmetic; the
+    single division is the only float, computed from identical integers
+    on both engines. Scale shape: one distinct-projection hash aggregate
+    to (user, day) activity — the corpus collapses to at most
+    users × days rows before anything else happens — one per-user min
+    for the cohort assignment, one user-keyed equi-join back (shuffle
+    shared with the distinct's partitioning), a broadcast of the
+    #cohorts-row size table, and a final map-side-combinable rollup. No
+    windows, no self-join over raw events; at 100 TB the only
+    corpus-sized pass is the first aggregate.
+    """
+    e = events_us(spark, sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            F.col("c0").alias("cohort_day"),
+            F.datediff("day", "c0").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(
+            F.broadcast(sizes.withColumnRenamed("c0", "cohort_day")),
+            "cohort_day",
+        )
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

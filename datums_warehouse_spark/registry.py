@@ -189,7 +189,7 @@ _GRADE_FRONT = (
     "a8_candles_1h", "t1_candles_1d_tumbling", "x1_resample_1h_to_1d",
     "a8_candles_vwap", "p8_table_profile",
     "j8_range_join", "j10_self_join_funnel",
-    "a1_pricing_summary", "a4_approx_count_distinct",
+    "a1_pricing_summary",
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
     # new round-8 operators (never graded — they take the six r05-refresh
@@ -216,6 +216,10 @@ _GRADE_FRONT = (
     # refreshes to delay)
     "s18_time_travel", "t14_stream_outer_join", "a13_value_histogram",
     "d10_udtf_table_arg",
+    # x12 takes a4_approx_count_distinct's slot: a4 is rows-only (no
+    # oracle), so its refresh would be the least informative row in the
+    # window — it moves to r09 with the other displaced refreshes
+    "x12_cohort_retention",
 )
 
 

@@ -153,6 +153,9 @@ QUERIES = [
     # sink under replication, by construction of the scaled layout).
     "a13_value_histogram",
     "s18_time_travel",
+    # cohort retention: distinct-projection collapse then user-keyed join
+    # — the only corpus-sized pass is the first aggregate
+    "x12_cohort_retention",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:

@@ -23,7 +23,7 @@ INVENTORY = (
     + [f"u{i}" for i in range(1, 7)]        # set ops (incl. EXCEPT ALL, INTERSECT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
-    + [f"x{i}" for i in range(1, 12)]       # time-series specials (incl. X11 TWAP)
+    + [f"x{i}" for i in range(1, 13)]       # time-series specials (incl. X11 TWAP, X12 cohort retention)
     + [f"l{i}" for i in range(1, 41)]       # LLM pipeline (incl. L39 CCNet buckets, L40 incremental dedup)
     + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )
