@@ -414,10 +414,12 @@ def d8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d9_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterator-of-batches pandas UDF (D9, ``Iterator[Tuple[Series, ...]]
     → Iterator[Series]``) — the D-surface member for EXPENSIVE
-    ONE-TIME INITIALIZATION: the function body runs once per Python
-    worker, does its setup before the loop, then streams every Arrow
-    batch of that worker's partitions through the already-initialized
-    state. The scalar variants (D2) re-enter the function per batch with
+    ONE-TIME INITIALIZATION: the function body runs once per task
+    (amortized across all Arrow batches of that task's partition), does
+    its setup before the loop, then streams every batch through the
+    already-initialized state — a reused Python worker re-executes the
+    setup for each task it picks up, so the guarantee is per-task, not
+    per-worker. The scalar variants (D2) re-enter the function per batch with
     no place to hoist setup — for a tokenizer, an ONNX session, or a
     compiled regex set (the LLM-pipeline norm), per-batch reload is the
     difference between I/O-bound and setup-bound.
@@ -429,13 +431,13 @@ def d9_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PushedFilters), which a filter buried in Python never could.
 
     Scale: identical execution profile to D2 (Arrow batches, no pickling,
-    no driver) plus O(1) setups per worker instead of O(batches).
+    no driver) plus O(1) setups per task instead of O(batches).
     """
     @F.pandas_udf("double")
     def gross_of(
         batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
     ) -> Iterator[pd.Series]:
-        # one-time per-worker setup (the expensive-init slot)
+        # one-time per-task setup (the expensive-init slot)
         rates = {"discount": 1.0, "tax": 1.0}
         for price, disc, tax in batches:
             yield price * (1 - disc * rates["discount"]) * (

@@ -834,3 +834,184 @@ def l24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("cc", ddot("cemb", "cemb"))
             )
     return assign.select("vec_id", "cid", F.round("d2", 6).alias("d2"))
+
+
+# --- L41: SemDeDup — embedding-cluster (semantic) deduplication ---------------
+#
+# L2 removes lexical near-duplicates (shared shingles); SemDeDup (Abbas et
+# al. 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540) removes SEMANTIC duplicates — documents
+# whose embeddings nearly coincide even when their surface text differs
+# (paraphrases, templated rewrites, translations). The published recipe:
+# k-means-cluster the embeddings, compute pairwise cosine similarity WITHIN
+# each cluster only, and drop all but one member of every near-identical
+# group. Composed here from three already-graded primitives: l23's
+# broadcast-argmin E-step (cells), l4's within-bucket cosine pairs, and
+# l29's canonical-survivor drop rule.
+
+SEMDEDUP_K = 8        # coarse cells (deterministic seeds: the first K vectors)
+SEMDEDUP_THETA = 0.40  # within-cell cosine ≥ θ ⇒ semantic duplicates
+
+# E-step + norm CTEs shared by both L41 oracles: assign every vector to its
+# nearest seed cell (the proven l23 IEEE tree: d2 = vv − 2·ab + cc, cid
+# tie-break), carrying the l2-norm for the cosine stage.
+SQL_SEMDEDUP_ASG = f"""
+    c AS (
+        SELECT vec_id AS cid, embedding AS cemb,
+               {SQL_DDOT.format(a="embedding", b="embedding")} AS cc
+        FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+    ),
+    v AS (
+        SELECT vec_id, label, embedding,
+               {SQL_DDOT.format(a="embedding", b="embedding")} AS vv
+        FROM embeddings
+    ),
+    asg AS (
+        SELECT vec_id, label, cid, embedding, sqrt(vv) AS norm FROM (
+            SELECT v.vec_id, v.label, c.cid, v.embedding, v.vv,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY v.vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
+                                + c.cc, c.cid
+                   ) AS rn
+            FROM v CROSS JOIN c
+        ) WHERE rn = 1
+    )
+"""
+
+SQL_SEMDEDUP_PAIRS = f"""
+    sem_pairs AS (
+        SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {SQL_DDOT.format(a="a.embedding", b="b.embedding")}
+               / (a.norm * b.norm) AS cos_raw
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {SQL_DDOT.format(a="a.embedding", b="b.embedding")}
+              / (a.norm * b.norm) >= {SEMDEDUP_THETA}
+    )
+"""
+
+
+def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-step: (vec_id, label, cid, embedding, norm) — every vector assigned
+    to its nearest of SEMDEDUP_K seed cells (l23's broadcast argmin)."""
+    emb = load(spark, sf_dir, "embeddings")
+    c = F.broadcast(
+        emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            ddot("embedding", "embedding").alias("cc"),
+        )
+    )
+    v = emb.select("vec_id", "label", "embedding", ddot("embedding", "embedding").alias("vv"))
+    d2 = F.col("vv") - 2 * ddot("embedding", "cemb") + F.col("cc")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        v.join(c)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cid", "embedding", F.sqrt("vv").alias("norm"))
+    )
+
+
+def _semdedup_pairs(cells: DataFrame) -> DataFrame:
+    """Within-cell cosine pairs ≥ θ (raw cosine kept for downstream)."""
+    a = cells.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = cells.select(
+        F.col("cid").alias("b_cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    cos = ddot("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= SEMDEDUP_THETA)
+        .select("cid", "vec_a", "vec_b", "cos_raw")
+    )
+
+
+@query(
+    "l41_semdedup_pairs",
+    oracle=f"""
+        WITH {SQL_SEMDEDUP_ASG},
+        {SQL_SEMDEDUP_PAIRS}
+        SELECT cid, vec_a, vec_b, round(cos_raw, 6) AS cosine
+        FROM sem_pairs
+    """,
+    tags=("L41", "L2", "L23"),
+)
+def l41_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1-2: k-means cells, then within-cell semantic-duplicate
+    pairs (cosine ≥ θ = 0.40, ≈ the p99.9 of the within-cell cosine
+    distribution — "near-identical" in this synthetic embedding space).
+
+    Scale shape: the E-step broadcasts K centroid rows over the vector scan
+    (no big-side shuffle); the pair stage is an equi-join ON THE CELL KEY,
+    never all-pairs — at production scale K grows with N (SemDeDup uses
+    K ≈ N/50k for LAION) so per-cell membership, and hence per-cell
+    pairwise work, stays bounded; the cell equi-join shuffles each vector
+    once. Cross-engine determinism: the E-step reuses l23's proven
+    d2 = vv − 2·ab + cc IEEE tree (cid tie-break); cosine reuses l4's
+    ddot/(norm·norm) tree; the θ compare is on the raw double on both
+    engines, the graded column rounds at 6dp.
+    """
+    return _semdedup_pairs(_semdedup_cells(spark, sf_dir)).select(
+        "cid", "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
+    )
+
+
+@query(
+    "l41_semdedup_materialize",
+    oracle=f"""
+        WITH {SQL_SEMDEDUP_ASG},
+        {SQL_SEMDEDUP_PAIRS},
+        dropped AS (SELECT DISTINCT vec_b AS vec_id FROM sem_pairs)
+        SELECT a.label AS label,
+               count(*) AS n_before,
+               count(*) FILTER (WHERE d.vec_id IS NULL) AS n_after
+        FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        GROUP BY a.label
+    """,
+    tags=("L41", "L29"),
+)
+def l41_semdedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 3: materialize the semantically-deduped corpus — drop
+    every vector that duplicates a LOWER-id vector in its cell (the
+    canonical-survivor rule: the min-id member of every duplicate group
+    survives; SemDeDup's published greedy keeps one arbitrary member, this
+    makes the choice deterministic the way l2/l29 do), then report
+    before/after counts per label — the per-source accounting a curation
+    run ships with its drop list.
+
+    Note the drop rule is single-hop (u < v with cos(u,v) ≥ θ drops v),
+    not transitive closure: a vector is kept iff NO smaller-id cell-mate
+    is θ-close — exactly SemDeDup's per-point decision, cheaper than l29's
+    full connected components and the published algorithm's actual shape.
+    Scale shape: the drop set rides the pair join (no extra shuffle), the
+    accounting is one scan with a left join against it — AQE picks
+    broadcast when the drop fraction is small (l29's lesson: never force
+    it).
+    """
+    cells = _semdedup_cells(spark, sf_dir)
+    dropped = (
+        _semdedup_pairs(cells)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dr", F.lit(True))
+    )
+    survives = F.col("dr").isNull()
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(survives, 1)).alias("n_after"),
+        )
+    )

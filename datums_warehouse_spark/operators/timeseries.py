@@ -1023,9 +1023,10 @@ def x11_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53 — per bucket Σdt ≤ 1 hour because dwells tile the hour, so the
     sum is ≤ max_price·3.6e9·100 ≈ 2e14 at ANY corpus size — which makes
     DuckDB's decimal→double (int128/10^scale, two roundings) exact and
-    therefore equal to Spark's correctly-rounded conversion. Scale shape: one window keyed by series (at
-    production scale,
-    by symbol — the same per-key discipline as every X-family scan; no
+    therefore equal to Spark's correctly-rounded conversion.
+
+    Scale shape: one window keyed by series (at production scale, by
+    symbol — the same per-key discipline as every X-family scan; no
     global order anywhere), then one map-side-combinable hash aggregate.
     The window and the aggregate share the series key, so AQE can reuse
     the exchange rather than shuffle twice.

@@ -162,7 +162,7 @@ _GRADE_FRONT_R07 = (
     "j4_left_outer_custdist", "j4_full_outer_daily",
 )
 
-# Round-8 rotation, ACTIVE: freshness (VERDICT r07 task 1). Leads with the
+# Round-8 rotation (was ACTIVE in r08; kept as the ledger of that window).
 # two never-graded L33 keys and the five keys whose code or oracle changed
 # AFTER their latest driver row landed (t4 promoted from rows-only to a
 # full DuckDB oracle on the finalized-buckets subset; x7 rewritten onto a
@@ -173,7 +173,7 @@ _GRADE_FRONT_R07 = (
 # touched their modules — and the six oldest r05 keys. The remaining
 # r05/r06 refreshes rotate in r09/r10. New round-8 operators take slots
 # from the tail refreshes as they land (r07's pattern).
-_GRADE_FRONT = (
+_GRADE_FRONT_R08 = (
     # never graded
     "l33_dup_passages", "l33_passage_scrub",
     # changed after their latest driver row (t7/t10: promoted from
@@ -220,6 +220,72 @@ _GRADE_FRONT = (
     # oracle), so its refresh would be the least informative row in the
     # window — it moves to r09 with the other displaced refreshes
     "x12_cohort_retention",
+)
+
+# Round-9 rotation, ACTIVE: the freshness tail (VERDICT r08 task 1). Leads
+# with the keys that are new or changed this round — the two L41 SemDeDup
+# operators (never graded) and t6_stateful_stream (promoted from rows-only
+# to a full DuckDB oracle: integer-cents state + the single-data-batch
+# drain make update-mode output the batch group-by) — then the entire
+# r04-era cohort (21 keys whose latest driver row predates the round-6/7
+# NTZ/UTC hardening; the r04 episode proved stale green rows can rot) and
+# the 26 oldest r05-era keys per the rotation plan in GRADED.md.
+# j9_asof_join and the r05 llm/x6/x8/x9 keys move to _GRADE_FRONT_R10.
+_GRADE_FRONT = (
+    # new round-9 operators (never graded)
+    "l41_semdedup_pairs", "l41_semdedup_materialize",
+    # promoted rows-only → full oracle this round
+    "t6_stateful_stream",
+    # r04-era evidence (all 21 remaining)
+    "o1_global_sort", "o2_multikey_sort", "o3_limit_offset", "o4_topk",
+    "u1_union_all", "u2_union_distinct",
+    "j5_semi_join", "j6_anti_join", "j7_cross_join",
+    "a2_global_cursor", "a3_count_distinct", "a4_approx_count_distinct",
+    "a5_rollup", "a5_cube", "a5_grouping_sets", "a6_having", "a7_distinct",
+    "a9_pivot", "a10_stats", "a11_collect_list", "a1_salted_two_stage",
+    # oldest r05-era evidence (26): the scalar-function surface, the UDF
+    # surface, the interpolation/validation family, the source connectors,
+    # the two r05 windows, and the 15m candles
+    "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
+    "f4_conditional_funcs", "f5_cast_funcs", "f6_array_funcs",
+    "f7_json_funcs", "f8_hash_funcs",
+    "d1_scalar_udf", "d2_pandas_udf", "d2_pandas_udaf", "d3_grouped_apply",
+    "d4_python_udtf", "d5_sql_registration",
+    "x2_gap_detection", "x3_interpolate_linear", "x3b_interpolate_scaled",
+    "x4_series_validation", "x5_returns",
+    "s1_parquet_scan", "s3_csv_roundtrip", "s4_jsonl_source",
+    "s5_incremental_since",
+    "w2_lag_lead", "w5_range_frame",
+    "a8_candles_15m",
+)
+
+# Round-10 rotation, pre-staged (VERDICT r08 task 8) so the ledger's
+# closure planning covers every key: the r05 leftovers (j9 + the llm
+# dedup/similarity/multimodal families + x6/x8/x9), then the oldest r06
+# keys (comp1–18 and the llm text module). The ~15 remaining r06 keys
+# (sinks, streaming batch-equivalents, w9) rotate in r11.
+_GRADE_FRONT_R10 = (
+    # r05-era leftovers (20)
+    "j9_asof_join", "l10_centroids", "l1_dedup_stats", "l1_exact_dedup",
+    "l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs", "l2_ppjoin_pairs",
+    "l2_simhash", "l3_cosine_topk", "l3_ivf_ann", "l3_lsh_ann",
+    "l3_matryoshka_ann", "l3_sq_ann", "l4_embedding_neardup",
+    "l4_knn_within_label", "l9_binary_columns", "l9_frame_sample",
+    "x6_ema", "x8_m4_downsample", "x9_rolling_zscore",
+    # oldest r06-era (30): the composite TPC-H shapes + the llm text module
+    "comp1_shipping_priority", "comp2_returned_items",
+    "comp3_funnel_conversion", "comp4_series_health",
+    "comp5_promo_revenue_share", "comp6_small_quantity_revenue",
+    "comp7_large_orders", "comp8_late_shipment_priority",
+    "comp9_priority_shipment_mix", "comp10_disjunctive_revenue",
+    "comp11_dormant_rich_customers", "comp12_local_supplier_volume",
+    "comp13_forecast_revenue", "comp14_volume_shipping",
+    "comp15_national_market_share", "comp16_product_profit",
+    "comp17_top_supplier", "comp18_waiting_suppliers",
+    "l5_word_count", "l6_tfidf", "l7_bigrams", "l8_lang_stats",
+    "l11_language_id", "l12_quality_score", "l13_token_count",
+    "l14_fingerprint", "l15_doc_chunking", "l16_sequence_packing",
+    "l17_heavy_hitters", "l18_decontamination",
 )
 
 

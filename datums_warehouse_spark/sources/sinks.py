@@ -773,11 +773,8 @@ def s18_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = []
     for v in (1, 2):
-        files = [
-            line.strip()
-            for line in open(os.path.join(out, f"_MANIFEST.v{v}"))
-            if line.strip()
-        ]
+        with open(os.path.join(out, f"_MANIFEST.v{v}")) as fh:
+            files = [line.strip() for line in fh if line.strip()]
         snap = spark.read.parquet(*files)
         frames.append(
             snap.groupBy("event_type")

@@ -171,6 +171,23 @@ def _await(q, timeout: int = 120) -> None:
         raise RuntimeError(f"streaming query did not finish within {timeout}s")
 
 
+def _assert_single_data_batch(q) -> None:
+    """Pin the assumption the stream-stream-join oracles (t8/t14) rest on:
+    availableNow drained the staged source in ONE data microbatch (no
+    maxFilesPerTrigger, single listing), so the watermark — computed at
+    batch START, hence 0 for that batch — cannot evict join state or
+    reject input mid-run. If `_stream_events` staging ever changes to
+    many files consumed across batches, or someone adds a trigger limit,
+    this raises loudly instead of surfacing as a puzzling hash flake."""
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches != 1:
+        raise RuntimeError(
+            "stream-stream join oracle requires a single-data-batch "
+            f"availableNow drain; observed {data_batches} data batches "
+            "(did _stream_events staging or trigger options change?)"
+        )
+
+
 # Streaming queries materialize one state-store instance per shuffle
 # partition, sized at FIRST start and pinned by the checkpoint — these
 # test-scale runs use fresh checkpoints, so the scoped clamp is safe and
@@ -294,14 +311,40 @@ def t7_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("t6_stateful_stream", tags=("T6", "stream", "eager"))
+@query(
+    "t6_stateful_stream",
+    oracle="""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) / 100.0 AS total_spend,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   AS n_purchases
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("T6", "stream", "eager"),
+)
 def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful streaming (rows-only): per-user cumulative spend
-    via ``applyInPandasWithState`` over a genuine microbatch run — the
+    """Arbitrary stateful streaming: per-user cumulative spend via
+    ``applyInPandasWithState`` over a genuine microbatch run — the
     streaming twin of ``t6_first_threshold_cross``.
 
-    State is one (sum, count) pair per user key, sharded across executors
-    by the groupBy — the shape that holds at any key cardinality.
+    Hash-graded (was rows-only through r08, VERDICT r08 task 4): a single
+    availableNow drain (pinned by ``_assert_single_data_batch``, t8's
+    argument) delivers every user's events in ONE batch, so update mode
+    emits exactly one row per user holding the final cumulative state —
+    which IS the batch group-by the oracle runs. Money is carried as
+    integer cents inside the state (events.value is exactly 2-dp at every
+    SF, so ``round(value·100)`` is an exact integer on both engines and
+    int64 addition is order-independent — no float-sum-order hazard); the
+    final cents→double division is the identical IEEE operation on both
+    sides.
+
+    State is one (cents, count) pair per user key, sharded across
+    executors by the groupBy — the shape that holds at any key
+    cardinality; on a true unbounded feed you'd add a timeout to retire
+    dormant users.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -309,24 +352,33 @@ def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def track_spend(key, pdfs, state: GroupState):
         import pandas as _pd
 
-        total, n = state.get() if state.exists else (0.0, 0)
+        cents, n = state.get() if state.exists else (0, 0)
         for pdf in pdfs:
             buys = pdf[pdf["event_type"] == "purchase"]
-            total += float(buys["value"].sum())
+            cents += int(buys["value_c"].sum())
             n += int(len(buys))
-        state.update((total, n))
+        state.update((cents, n))
         yield _pd.DataFrame(
-            {"user_id": [key[0]], "total_spend": [total], "n_purchases": [n]}
+            {
+                "user_id": [key[0]],
+                "total_spend": [cents / 100.0],
+                "n_purchases": [n],
+            }
         )
 
     name = f"t6_state_{uuid.uuid4().hex[:8]}"
-    stream = _stream_events(spark, sf_dir)
+    stream = _stream_events(spark, sf_dir).withColumn(
+        # exact integer cents BEFORE the Python surface: int64 state
+        # addition is associative, so the result is order- and
+        # partitioning-independent (unlike a float running sum)
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
     out = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
             track_spend,
             outputStructType="user_id long, total_spend double, n_purchases long",
-            stateStructType="total double, n long",
+            stateStructType="cents long, n long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -340,6 +392,7 @@ def t6_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await(q)
+    _assert_single_data_batch(q)
     return spark.table(name)
 
 
@@ -495,6 +548,7 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await(q)
+    _assert_single_data_batch(q)
     # stable small result: pairs per user (the memory sink holds raw pairs)
     return (
         spark.table(name)
@@ -787,6 +841,7 @@ def t14_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await(q)
+    _assert_single_data_batch(q)
     raw = spark.table(name)
     return raw.groupBy("user_id").agg(
         F.count(F.when(F.col("click_ts").isNotNull(), 1)).alias("n_matched"),

@@ -34,6 +34,10 @@ MULT = 8  # stress-layout multiplier to measure on
 # A parallelism-sensitive slice of the bench headline: scan-agg, shuffle
 # joins, windows, sessionization, the LSH pair pipeline, text aggregation,
 # and the positional-gram passage detector (the two heaviest L rows).
+# r09 (VERDICT r08 task 6) adds the three steepest round-8 stress rows so
+# the parallelism claim covers the iterative plan (l2_dedup_clusters:
+# pointer-jumping label propagation), the index-probe dedup
+# (l40_incremental_dedup), and the write path (s17_dynamic_overwrite).
 QUERIES = [
     "a1_pricing_summary",
     "a8_candles_1h",
@@ -43,6 +47,9 @@ QUERIES = [
     "l2_minhash_lsh_pairs",
     "l6_tfidf",
     "l33_dup_passages",
+    "l2_dedup_clusters",
+    "l40_incremental_dedup",
+    "s17_dynamic_overwrite",
 ]
 
 _CHILD = r"""

@@ -565,11 +565,28 @@ def run_at(spark, qs, sf_dir: str, mult: int | None):
         )
         if check_oracle and q.oracle:
             con = connect(sf_dir)
-            ok = compare_frames(
-                name, q.fn(spark, sf_dir).toPandas(), con.execute(q.oracle).fetchdf()
-            )
+            duck = con.execute(q.oracle).fetchdf()
             con.close()
+            ok = compare_frames(name, q.fn(spark, sf_dir).toPandas(), duck)
             verdict = "ok" if ok else "FAIL"
+            if ok and name in ANALYTIC:
+                # Anchor the replication model (VERDICT r08 task 5): at
+                # every multiplier where the direct DuckDB oracle still
+                # runs, the analytic expectation must reproduce that
+                # direct result FULL-VALUE — so the `ok*` rows above the
+                # ceiling rest on a model proven against the real oracle
+                # in the SAME regen, programmatically, not narratively.
+                # A drifted model aborts the regen instead of publishing.
+                exp = _expected_frame(name, qs, mult, sf_dir)
+                if not _frames_equal_exact(duck, exp):
+                    raise AssertionError(
+                        f"analytic replication model for {name} does not "
+                        f"reproduce the direct DuckDB oracle at {mult}× "
+                        f"(direct {len(duck)} rows vs model {len(exp)}) — "
+                        "the ok* verdicts above the ceiling would be "
+                        "unanchored; fix _expected_frame before regen"
+                    )
+                verdict = "ok(anchored)"
         elif mult is not None and name in ANALYTIC:
             # above the direct-oracle ceiling: full-value compare against
             # the analytic replication-model expectation (see ANALYTIC)
@@ -583,6 +600,18 @@ def run_at(spark, qs, sf_dir: str, mult: int | None):
 
 def main() -> None:
     mults = [int(m) for m in os.environ.get("STRESS_MULT", "8").split(",")]
+    # Keep the analytic oracle anchored: if any requested multiplier is
+    # above an ANALYTIC query's direct ceiling, the SAME regen must also
+    # run a multiplier at/below the ceiling so run_at's anchor assertion
+    # proves the model against the direct oracle before any ok* verdict
+    # is published.
+    for name, ceil in ORACLE_MAX_MULT.items():
+        if any(m > ceil for m in mults) and not any(m <= ceil for m in mults):
+            raise SystemExit(
+                f"STRESS_MULT={mults} runs {name} above its direct-oracle "
+                f"ceiling ({ceil}×) without an anchoring multiplier ≤ "
+                f"{ceil}× in the same regen — add one (e.g. {ceil})"
+            )
     spark = get_spark("stress")
     qs = all_queries()
 
@@ -656,9 +685,14 @@ def main() -> None:
         "for all M² copy combinations with a bit-identical Jaccard, and "
         "components merge copy-wise — then FULL-VALUE-compared against "
         "the Spark output (2.7M rows at 32×), not just row-counted. The "
-        "model itself is cross-checked: at 8× the same queries pass the "
-        "direct DuckDB hash-compare, and the analytic expectation "
-        "reproduces the direct oracle's 32× pair count exactly "
+        "model itself is ANCHORED PROGRAMMATICALLY (`ok(anchored)` rows): "
+        "at every multiplier where the direct DuckDB oracle still runs "
+        "(8× for these five), `stress.py run_at` asserts the analytic "
+        "expectation reproduces the direct oracle frame full-value and "
+        "ABORTS the regen on drift, and `main` refuses a multiplier list "
+        "that would publish ok* without an anchoring ≤-ceiling run in "
+        "the same regen. The expectation also reproduces the direct "
+        "oracle's 32× pair count exactly "
         "(2,736,000 = 5,000·C(32,2) + 250·32²).",
     ]
     print("skew stress (j13):", flush=True)

@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
     + [f"x{i}" for i in range(1, 13)]       # time-series specials (incl. X11 TWAP, X12 cohort retention)
-    + [f"l{i}" for i in range(1, 41)]       # LLM pipeline (incl. L39 CCNet buckets, L40 incremental dedup)
+    + [f"l{i}" for i in range(1, 42)]       # LLM pipeline (incl. L40 incremental dedup, L41 SemDeDup)
     + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )
 
@@ -128,9 +128,11 @@ def test_sql_expressible_rows_have_oracles():
     allowed_rows_only = {
         "a4_approx_count_distinct",  # HLL sketch ≠ DuckDB's
         "l3_lsh_ann",                # MLlib model hashing
-        "t6_stateful_stream",        # applyInPandasWithState, genuine stream
         "o5_table_sample",           # sampling RNG is engine-specific
         "o5_stratified_sample",      # sampling RNG is engine-specific
+        # t6_stateful_stream was promoted to a full oracle in r09 (integer-
+        # cents state + single-batch drain makes the update-mode output the
+        # batch group-by)
     }
     missing = {
         name for name, q in all_queries().items() if q.oracle is None

@@ -1,0 +1,230 @@
+"""Round-9 operator tests.
+
+1. L33 duplicated-passage edge cases (VERDICT r08 task 7): docs shorter
+   than PASSAGE_W, a doc that is ONE giant duplicated passage, and islands
+   at the exact merge boundary (successive duplicated positions W apart
+   merge — the spans tile contiguously; W+1 apart split — one clean token
+   survives between them). Each case is verified against the DuckDB oracle
+   on the same synthetic corpus, so the two engines' gaps-and-islands
+   logic is pinned together, not separately.
+2. L41 SemDeDup invariants: pairs are within-cell, threshold-true, and the
+   materialized drop accounting is consistent with the pair set.
+3. The `_assert_single_data_batch` guard (ADVICE r08): raises on a
+   multi-batch drain, passes on exactly one.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datums_warehouse_spark import all_queries
+from datums_warehouse_spark.llm.dedup import PASSAGE_W
+from datums_warehouse_spark.testing.compare import compare_frames
+
+W = PASSAGE_W
+
+
+@pytest.fixture()
+def fake_corpus(spark, monkeypatch):
+    """Patch llm.dedup's documents table AND build the matching DuckDB
+    view, so every case checks Spark vs oracle on the same rows."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    def _install(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        monkeypatch.setattr(DD, "load", lambda s, d, n: df)
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({i}, '{t}', '{lg}', '{src}')" for i, t, lg, src in rows
+        )
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+            "AS t(doc_id, text, lang, source)"
+        )
+        return df, con
+
+    return _install
+
+
+def _l33_check(spark, con, expected_spans):
+    """Run l33_dup_passages on the patched corpus, assert the exact span
+    set AND the DuckDB oracle parity."""
+    import datums_warehouse_spark.llm.dedup as DD
+
+    spark_pdf = DD.l33_dup_passages(spark, "x").toPandas()
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_sharers)
+        for r in spark_pdf.itertuples()
+    }
+    assert got == expected_spans, f"spans {got} != expected {expected_spans}"
+    oracle_pdf = con.execute(all_queries()["l33_dup_passages"].oracle).fetchdf()
+    res = compare_frames("l33_edge", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+def toks(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+@pytest.mark.parametrize("n_tok", [0, 1, W - 1])
+def test_l33_docs_shorter_than_window_emit_nothing(spark, fake_corpus, n_tok):
+    """A doc with fewer than W tokens has NO W-gram positions — even two
+    identical such docs must produce zero spans (the npos==0 guard: an
+    unclamped sequence(0,-1) would descend and slice garbage grams)."""
+    text = toks("s", n_tok) if n_tok else ""
+    _, con = fake_corpus(
+        [
+            (1, text, "en", "web"),
+            (2, text, "en", "web"),
+            # a long all-unique doc so the corpus itself is non-degenerate
+            (3, toks("u", 3 * W), "en", "web"),
+        ]
+    )
+    _l33_check(spark, con, set())
+
+
+def test_l33_whole_doc_is_one_passage(spark, fake_corpus):
+    """Two identical long docs: every position is duplicated, consecutive
+    positions merge into ONE span covering the entire document —
+    span_start 0, span_len = n_tokens, in both docs."""
+    n = 3 * W + 4
+    text = toks("d", n)
+    _, con = fake_corpus(
+        [
+            (1, text, "en", "web"),
+            (2, text, "en", "wiki"),
+            (3, toks("u", 2 * W), "en", "web"),
+        ]
+    )
+    _l33_check(spark, con, {(1, 0, n, 1), (2, 0, n, 1)})
+
+
+def test_l33_islands_exactly_w_apart_merge(spark, fake_corpus):
+    """Doc 1 = X(W tokens) ++ Y(W tokens), X shared with doc 2, Y shared
+    with doc 3, no cross-boundary gram shared. Duplicated positions in
+    doc 1 are {0, W} — exactly W apart, the merge boundary: their spans
+    [0,W) and [W,2W) tile contiguously, so they must merge into ONE
+    passage of 2W tokens (the break fires only on gaps > W)."""
+    x, y = toks("x", W), toks("y", W)
+    # docs 2/3 embed X/Y behind a unique prefix so only X's (resp. Y's)
+    # own gram is shared — prefix+X cross grams are unique to doc 2/3
+    _, con = fake_corpus(
+        [
+            (1, f"{x} {y}", "en", "web"),
+            (2, f"{toks('p', W)} {x}", "en", "web"),
+            (3, f"{toks('q', W)} {y}", "en", "web"),
+        ]
+    )
+    _l33_check(
+        spark,
+        con,
+        {
+            (1, 0, 2 * W, 1),   # merged: X and Y tile [0, 2W)
+            (2, W, W, 1),       # X inside doc 2
+            (3, W, W, 1),       # Y inside doc 3
+        },
+    )
+
+
+def test_l33_islands_w_plus_one_apart_split(spark, fake_corpus):
+    """Doc 1 = X(W) ++ one unique token ++ Y(W): duplicated positions
+    {0, W+1} are W+1 apart — past the boundary, so TWO spans and the
+    clean token between them survives the scrub accounting."""
+    x, y = toks("x", W), toks("y", W)
+    _, con = fake_corpus(
+        [
+            (1, f"{x} GAP {y}", "en", "web"),
+            (2, f"{toks('p', W)} {x}", "en", "web"),
+            (3, f"{toks('q', W)} {y}", "en", "web"),
+        ]
+    )
+    _l33_check(
+        spark,
+        con,
+        {
+            (1, 0, W, 1),
+            (1, W + 1, W, 1),
+            (2, W, W, 1),
+            (3, W, W, 1),
+        },
+    )
+    # the scrub audit agrees: doc 1 keeps exactly its 1 clean token
+    import datums_warehouse_spark.llm.dedup as DD
+
+    scrub = {
+        r.source: r
+        for r in DD.l33_passage_scrub(spark, "x").collect()
+    }
+    web = scrub["web"]
+    # web = docs 1,2,3: tokens 2W+1 + 2W + 2W; dup = 2W + W + W
+    assert web.tokens_total == (2 * W + 1) + 2 * W + 2 * W
+    assert web.dup_tokens == 4 * W
+    assert web.tokens_after == web.tokens_total - web.dup_tokens
+
+
+# --- L41 SemDeDup invariants --------------------------------------------------
+
+
+def test_l41_pairs_invariants(spark, sf_dir):
+    """Pairs are within one cell, ordered (vec_a < vec_b), and every
+    cosine clears the threshold; the cell assignment covers every vector
+    exactly once."""
+    from datums_warehouse_spark.llm.similarity import (
+        SEMDEDUP_THETA,
+        _semdedup_cells,
+        l41_semdedup_pairs,
+    )
+
+    cells = _semdedup_cells(spark, sf_dir)
+    n_vec = cells.count()
+    assert cells.select("vec_id").distinct().count() == n_vec
+    rows = l41_semdedup_pairs(spark, sf_dir).collect()
+    assert rows, "threshold produced no pairs at test SF — tune θ"
+    cell_of = {r.vec_id: r.cid for r in cells.select("vec_id", "cid").collect()}
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert cell_of[r.vec_a] == cell_of[r.vec_b] == r.cid
+        assert r.cosine >= SEMDEDUP_THETA - 1e-6
+
+
+def test_l41_materialize_consistent_with_pairs(spark, sf_dir):
+    """n_before − n_after summed over labels equals the number of distinct
+    dropped vectors (vec_b side of the pair set), and every label's
+    n_after ≤ n_before."""
+    from datums_warehouse_spark.llm.similarity import (
+        l41_semdedup_materialize,
+        l41_semdedup_pairs,
+    )
+
+    mat = l41_semdedup_materialize(spark, sf_dir).collect()
+    dropped = {
+        r.vec_b for r in l41_semdedup_pairs(spark, sf_dir).collect()
+    }
+    assert all(r.n_after <= r.n_before for r in mat)
+    assert sum(r.n_before - r.n_after for r in mat) == len(dropped)
+
+
+# --- streaming single-batch guard (ADVICE r08) --------------------------------
+
+
+class _FakeQuery:
+    def __init__(self, input_rows):
+        self.recentProgress = [{"numInputRows": n} for n in input_rows]
+
+
+def test_single_data_batch_guard():
+    from datums_warehouse_spark.streaming.batch_equiv import (
+        _assert_single_data_batch,
+    )
+
+    # one data batch + the availableNow closing no-data batch: fine
+    _assert_single_data_batch(_FakeQuery([1000, 0]))
+    # two data batches (e.g. maxFilesPerTrigger snuck in): must raise
+    with pytest.raises(RuntimeError, match="single-data-batch"):
+        _assert_single_data_batch(_FakeQuery([500, 500, 0]))
+    # zero data batches (empty source): also not the pinned contract
+    with pytest.raises(RuntimeError, match="single-data-batch"):
+        _assert_single_data_batch(_FakeQuery([0]))
