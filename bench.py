@@ -50,6 +50,9 @@ HEADLINE = [
     # invisible to BENCH) — and the new duplicated-passage detector
     "l2_dedup_clusters",         # LSH pairs → connected components
     "l33_dup_passages",          # substring-level duplicated passages
+    # round-9 addition: SemDeDup embedding-cluster dedup (adaptive-K cells
+    # → within-cell cosine pairs) — the new semantic-dedup pipeline stage
+    "l41_semdedup_pairs",
 ]
 
 # Frozen cross-round comparison sets (ADVICE r08: membership, not position —

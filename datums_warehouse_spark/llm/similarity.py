@@ -849,8 +849,20 @@ def l24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast-argmin E-step (cells), l4's within-bucket cosine pairs, and
 # l29's canonical-survivor drop rule.
 
-SEMDEDUP_K = 8        # coarse cells (deterministic seeds: the first K vectors)
-SEMDEDUP_THETA = 0.40  # within-cell cosine ≥ θ ⇒ semantic duplicates
+SEMDEDUP_K_MIN = 8       # floor on the cell count
+SEMDEDUP_CELL_TARGET = 250  # target vectors per cell: K = max(K_MIN, ⌊N/target⌋)
+SEMDEDUP_THETA = 0.40    # within-cell cosine ≥ θ ⇒ semantic duplicates
+
+# K adapts to corpus size (SemDeDup's own design point: K ∝ N, e.g.
+# K ≈ N/50k for LAION — here N/250 at test scale) so per-cell membership,
+# and hence the within-cell pairwise stage, stays BOUNDED as the corpus
+# grows: total pair work ≈ N·target/2, linear in N. Both engines derive
+# K from the same floor(count/target) expression (floor, not cast:
+# DuckDB's double→BIGINT cast rounds where Spark's truncates).
+SQL_SEMDEDUP_K = (
+    f"(SELECT greatest({SEMDEDUP_K_MIN}, CAST(floor(count(*) /"
+    f" {SEMDEDUP_CELL_TARGET}) AS BIGINT)) FROM embeddings)"
+)
 
 # E-step + norm CTEs shared by both L41 oracles: assign every vector to its
 # nearest seed cell (the proven l23 IEEE tree: d2 = vv − 2·ab + cc, cid
@@ -859,7 +871,7 @@ SQL_SEMDEDUP_ASG = f"""
     c AS (
         SELECT vec_id AS cid, embedding AS cemb,
                {SQL_DDOT.format(a="embedding", b="embedding")} AS cc
-        FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+        FROM embeddings WHERE vec_id < {SQL_SEMDEDUP_K}
     ),
     v AS (
         SELECT vec_id, label, embedding,
@@ -893,10 +905,21 @@ SQL_SEMDEDUP_PAIRS = f"""
 
 def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E-step: (vec_id, label, cid, embedding, norm) — every vector assigned
-    to its nearest of SEMDEDUP_K seed cells (l23's broadcast argmin)."""
+    to its nearest seed cell (l23's broadcast argmin), with the cell count
+    K = max(K_MIN, ⌊N/CELL_TARGET⌋) sized from a lazy 1-row aggregate
+    (j12's bloom-sizing pattern — no driver collect), so cells stay
+    ~CELL_TARGET vectors at any corpus size."""
     emb = load(spark, sf_dir, "embeddings")
+    k = emb.agg(
+        F.greatest(
+            F.lit(SEMDEDUP_K_MIN),
+            F.floor(F.count(F.lit(1)) / SEMDEDUP_CELL_TARGET),
+        ).alias("k")
+    )
     c = F.broadcast(
-        emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        emb.join(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("cemb"),
             ddot("embedding", "embedding").alias("cc"),
@@ -952,12 +975,16 @@ def l41_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (cosine ≥ θ = 0.40, ≈ the p99.9 of the within-cell cosine
     distribution — "near-identical" in this synthetic embedding space).
 
-    Scale shape: the E-step broadcasts K centroid rows over the vector scan
-    (no big-side shuffle); the pair stage is an equi-join ON THE CELL KEY,
-    never all-pairs — at production scale K grows with N (SemDeDup uses
-    K ≈ N/50k for LAION) so per-cell membership, and hence per-cell
-    pairwise work, stays bounded; the cell equi-join shuffles each vector
-    once. Cross-engine determinism: the E-step reuses l23's proven
+    Scale shape: K adapts to the corpus — max(K_MIN, ⌊N/CELL_TARGET⌋),
+    sized from a lazy 1-row aggregate (SemDeDup's own design: K ∝ N,
+    K ≈ N/50k for LAION) — so per-cell membership, and hence per-cell
+    pairwise work, stays BOUNDED: total pair fan-out ≈ N·CELL_TARGET/2,
+    linear in N (STRESS verifies the direct oracle at 8× AND 32×). The
+    E-step broadcasts the K seed rows over the vector scan (no big-side
+    shuffle; once K·dim outgrows a broadcast — K in the millions — the
+    E-step becomes l3_ivf_ann's bucketed probe, same semantics); the pair
+    stage is an equi-join ON THE CELL KEY, never all-pairs, shuffling
+    each vector once. Cross-engine determinism: the E-step reuses l23's proven
     d2 = vv − 2·ab + cc IEEE tree (cid tie-break); cosine reuses l4's
     ddot/(norm·norm) tree; the θ compare is on the raw double on both
     engines, the graded column rounds at 6dp.

@@ -156,6 +156,12 @@ QUERIES = [
     # cohort retention: distinct-projection collapse then user-keyed join
     # — the only corpus-sized pass is the first aggregate
     "x12_cohort_retention",
+    # round-9: SemDeDup embedding-cluster dedup — the cell count K adapts
+    # to corpus size (⌊N/250⌋), so within-cell pair fan-out stays
+    # output-bounded (~N·250/2) as replication grows the corpus; the
+    # direct DuckDB oracle stays feasible at EVERY multiplier (~63 s at
+    # 32×, the l18 class), so no analytic ceiling needed.
+    "l41_semdedup_pairs",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:
