@@ -905,10 +905,19 @@ SQL_SEMDEDUP_PAIRS = f"""
 
 def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E-step: (vec_id, label, cid, embedding, norm) — every vector assigned
-    to its nearest seed cell (l23's broadcast argmin), with the cell count
+    to its nearest seed cell, with the cell count
     K = max(K_MIN, ⌊N/CELL_TARGET⌋) sized from a lazy 1-row aggregate
     (j12's bloom-sizing pattern — no driver collect), so cells stay
-    ~CELL_TARGET vectors at any corpus size."""
+    ~CELL_TARGET vectors at any corpus size.
+
+    The argmin is a FOLD over the broadcast seed array, not a join: the K
+    seeds collapse into one (cid-sorted) array row, and each vector scans
+    it with ``F.aggregate`` keeping the running (d2, cid) minimum — the
+    E-step is a pure projection (zero fan-out, zero shuffle, no window),
+    where the l23-style join+row_number shape would explode N×K rows and
+    exchange them twice. Strict ``<`` on d2 over the cid-ascending array
+    reproduces the oracle's ``ORDER BY d2, cid`` tie-break exactly; d2 is
+    the same vv − 2·ab + cc IEEE tree on both engines."""
     emb = load(spark, sf_dir, "embeddings")
     k = emb.agg(
         F.greatest(
@@ -916,24 +925,44 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.count(F.lit(1)) / SEMDEDUP_CELL_TARGET),
         ).alias("k")
     )
-    c = F.broadcast(
+    seeds = (
         emb.join(F.broadcast(k))
         .filter(F.col("vec_id") < F.col("k"))
         .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-            ddot("embedding", "embedding").alias("cc"),
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+                ddot("embedding", "embedding").alias("cc"),
+            ).alias("s")
         )
+        # array_sort on (cid, …) structs orders by cid — the fold's strict
+        # d2 comparison then keeps the LOWEST cid on distance ties
+        .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
     )
-    v = emb.select("vec_id", "label", "embedding", ddot("embedding", "embedding").alias("vv"))
-    d2 = F.col("vv") - 2 * ddot("embedding", "cemb") + F.col("cc")
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    v = emb.select(
+        "vec_id", "label", "embedding", ddot("embedding", "embedding").alias("vv")
+    )
+    joined = v.join(F.broadcast(seeds))
+
+    def _step(acc, s):
+        d2 = F.col("vv") - 2 * ddot("embedding", s["cemb"]) + s["cc"]
+        better = acc["cid"].isNull() | (d2 < acc["d2"])
+        return F.when(
+            better, F.struct(d2.alias("d2"), s["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("d2"), F.lit(None).cast("long").alias("cid")
+    )
+    best = F.aggregate("seeds", init, _step)
     return (
-        v.join(c)
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "cid", "embedding", F.sqrt("vv").alias("norm"))
+        joined.select(
+            "vec_id", "label", "embedding",
+            F.sqrt("vv").alias("norm"),
+            best["cid"].alias("cid"),
+        )
+        # empty seed set (empty corpus): no cells, not a NULL-cid bucket
+        .filter(F.col("cid").isNotNull())
     )
 
 

@@ -150,6 +150,15 @@ def main() -> None:
         f"{totals[base] / totals[c]:.1f}" for c in CORES[1:]
     ]
     lines.append("| " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "s17_dynamic_overwrite is the write path (an eager double write of "
+        "the events table): its wall-clock is dominated by parquet "
+        "encode+fsync on one local disk, which more cores cannot multiply — "
+        "the flat curve is the storage bound, not a serialized plan stage "
+        "(the same plan's shuffle/scan legs parallelize, and on a cluster "
+        "the write fans out across executors' disks).",
+    ]
     with open(os.path.join(ROOT, "CORESCALE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({"cores": list(CORES), "totals": totals}))
