@@ -1071,3 +1071,179 @@ def l41_semdedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(survives, 1)).alias("n_after"),
         )
     )
+
+
+# --- l42: sign-random-projection LSH ANN (Charikar 2002, SimHash for
+# vectors) -------------------------------------------------------------
+#
+# The hash-gradable LSH-ANN: l3_lsh_ann (MLlib BucketedRandomProjectionLSH)
+# is rows-only because MLlib seeds its projections from model-internal RNG
+# state DuckDB cannot replay. Here the hyperplanes are a PUBLIC
+# deterministic function of (bit, dim) — an LCG evaluated identically by
+# both engines — so the whole pipeline (signature → band buckets →
+# candidate join → exact re-rank) is one cross-engine-reproducible plan
+# and the family's scale path earns a full value-hash grade.
+
+SRP_BITS = 32  # signature width
+SRP_BANDS = 8  # 8 bands x 4 bits: band collision prob = (1 - theta/pi)^4
+# Bit budget picked from a measured sweep on the sf0.01 fixture (recall@5
+# vs exact l3_cosine_topk / candidate fraction scanned): 16/4 -> .30/.22,
+# 32/8 -> .44/.33, 24/8 -> .64/.52, 16/8 -> .90/.84. The synthetic
+# embeddings are near-uniform random — SRP's adversarial case (true-NN
+# cosine barely clears noise, so sign bits carry little margin); clustered
+# real-corpus embeddings sit far to the left of this curve. 32x8 is the
+# knee: 3x pruning at recall ~.44, and the re-rank stays exact over
+# whatever the bands admit.
+SRP_DIM = 64  # embeddings.embedding is fixed 64-dim (TESTDATA.md)
+
+# hyperplane component w(b, d) = LCG(b*DIM + d + 1) mapped to [-0.5, 0.5):
+# integer arithmetic (exact on both engines), one double division.
+SQL_SRP_HYPERPLANE = (
+    f"list_transform(range(0, {SRP_DIM}), d -> "
+    f"CAST((1103515245 * (CAST({{b}} AS BIGINT) * {SRP_DIM} + d + 1) + 12345) "
+    f"% 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+)
+
+
+def _srp_hyperplane(b: Column) -> Column:
+    """The bit-``b`` hyperplane as a 64-float array column (matches
+    SQL_SRP_HYPERPLANE value-for-value: same integer LCG, same single
+    double division)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(SRP_DIM - 1)),
+        lambda d: (
+            (
+                F.lit(1103515245).cast("long")
+                * (b.cast("long") * SRP_DIM + d + 1)
+                + 12345
+            )
+            % F.lit(2147483648).cast("long")
+        ).cast("double")
+        / 2147483648.0
+        - 0.5,
+    )
+
+
+def _srp_bands(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bandval) — the banded SRP signature of every vector.
+
+    Signature bit b = [embedding · w(b) >= 0]; both engines fold the dot
+    product left-to-right over identical doubles (ddot ≡ list_dot_product),
+    and the >= 0 threshold compares bit-identical IEEE values. Bits pack
+    into SRP_BANDS band values of SRP_BITS/SRP_BANDS bits each. The whole
+    signature is one codegen projection — zero shuffle, O(BITS·DIM) flops
+    per row — so at 100 TB it rides the scan."""
+    rbits = SRP_BITS // SRP_BANDS
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SRP_BITS - 1)),
+        lambda b: F.when(ddot("embedding", _srp_hyperplane(b)) >= 0, 1).otherwise(0),
+    )
+    sig = emb.select("vec_id", bits.alias("bits"))
+    # little-endian pack (bit i weighs 2^i), folded most-significant-first
+    # as acc*2 + bit — shiftleft() needs a Python-int bit count, a fold
+    # variable is a Column
+    bandval = F.aggregate(
+        F.sequence(F.lit(rbits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0),
+        lambda acc, i: acc * 2 + F.element_at("bits", F.col("band") * rbits + i + 1),
+    )
+    return (
+        sig.select("vec_id", "bits", F.explode(F.sequence(F.lit(0), F.lit(SRP_BANDS - 1))).alias("band"))
+        .select("vec_id", "band", bandval.alias("bandval"))
+    )
+
+
+@query(
+    "l42_srp_ann",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   list_transform(range(0, {SRP_BITS}), b ->
+                       CASE WHEN {SQL_DDOT.format(a="embedding", b=SQL_SRP_HYPERPLANE.format(b="b"))} >= 0
+                            THEN 1 ELSE 0 END) AS bits
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, j AS band,
+                   bits[4*j+1] + 2*bits[4*j+2] + 4*bits[4*j+3] + 8*bits[4*j+4] AS bandval
+            FROM sig, UNNEST(range(0, {SRP_BANDS})) t(j)
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bands q JOIN bands c ON q.band = c.band AND q.bandval = c.bandval
+            WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+        ),
+        normed AS (
+            SELECT vec_id, embedding,
+                   sqrt({SQL_DDOT.format(a="embedding", b="embedding")}) AS norm
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id,
+               round({SQL_DDOT.format(a="q.embedding", b="c.embedding")}
+                     / (q.norm * c.norm), 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {SQL_DDOT.format(a="q.embedding", b="c.embedding")}
+                            / (q.norm * c.norm) DESC, neighbor_id
+               ) AS BIGINT) AS rn
+        FROM cand JOIN normed q ON q.vec_id = cand.query_id
+                  JOIN normed c ON c.vec_id = cand.neighbor_id
+        QUALIFY rn <= 5
+    """,
+    tags=("L3", "L42"),
+)
+def l42_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH top-5 (Charikar 2002) — the deterministic,
+    hash-graded twin of the rows-only l3_lsh_ann.
+
+    Pipeline: (1) 32-bit SRP signature per vector — a pure projection;
+    (2) 8-band × 4-bit LSH bucketing — candidates are pairs sharing ANY
+    band value (collision prob per band ≈ (1 − θ/π)^4, the standard
+    banding amplification), pruning ~3× of the corpus per query here;
+    (3) exact cosine re-rank of survivors, top-5 per query, ties on
+    neighbor_id.
+
+    Scale shape: signatures ride the scan (codegen, no shuffle); the band
+    join shuffles 8-byte (band, bandval) keys, not embeddings; the query
+    side is a 10-row broadcast; re-rank joins fetch only candidate
+    embeddings. At 100 TB the corpus side would be written bucketed by
+    (band, bandval) so probes partition-prune, exactly like l3_ivf_ann's
+    inverted lists. Recall is banding-bounded, not exact — the re-rank is
+    exact over candidates, and the l37-style calibration play (compare to
+    l3_cosine_topk on a sample) QA's the bit width."""
+    emb = load(spark, sf_dir, "embeddings")
+    bands = _srp_bands(emb)
+    q_bands = F.broadcast(
+        bands.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    )
+    cand = (
+        q_bands.join(bands, ["band", "bandval"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    normed = with_norm(emb)
+    qn = F.broadcast(
+        normed.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    cn = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = ddot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .withColumn("cosine_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )

@@ -1507,3 +1507,143 @@ def l39_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.col("lang_n")).alias("share"),
     )
+
+
+# --- l43: Gopher repetition filters (Rae et al. 2021, §A1.1) -----------
+
+
+def ngrams_of(toks, n: int):
+    """Adjacent word-n-gram array over a token array, safe for short docs
+    (the bigrams_of guard generalized: Spark's sequence() counts DOWN when
+    stop < start, so docs with fewer than n tokens must short-circuit to
+    [] the way DuckDB's range() does)."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "l43_gopher_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, n_chars, n, array_to_string(t[i+1:i+n], ' ') AS gram
+            FROM toks, UNNEST([2, 3, 4, 5]) AS a(n),
+                 UNNEST(range(len(t) - n + 1)) AS b(i)
+        ),
+        cnts AS (
+            SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+            FROM grams GROUP BY ALL
+        ),
+        stats AS (
+            SELECT doc_id, n_chars, n,
+                   max(struct_pack(cnt := cnt, glen := len(gram))) AS top,
+                   sum(cnt) AS total_inst,
+                   sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_inst
+            FROM cnts GROUP BY ALL
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   max(CASE WHEN n = 2 THEN CAST(top.cnt * top.glen AS DOUBLE) / n_chars END) AS top2_raw,
+                   max(CASE WHEN n = 3 THEN CAST(top.cnt * top.glen AS DOUBLE) / n_chars END) AS top3_raw,
+                   max(CASE WHEN n = 4 THEN CAST(top.cnt * top.glen AS DOUBLE) / n_chars END) AS top4_raw,
+                   max(CASE WHEN n = 5 THEN CAST(dup_inst AS DOUBLE) / total_inst END) AS dup5_raw
+            FROM stats GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(coalesce(top2_raw, 0), 6) AS top2_frac,
+               round(coalesce(top3_raw, 0), 6) AS top3_frac,
+               round(coalesce(top4_raw, 0), 6) AS top4_frac,
+               round(coalesce(dup5_raw, 0), 6) AS dup5_frac,
+               (coalesce(top2_raw, 0) <= 0.20 AND coalesce(top3_raw, 0) <= 0.18
+                AND coalesce(top4_raw, 0) <= 0.16
+                AND coalesce(dup5_raw, 0) <= 0.15) AS keep
+        FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """,
+    tags=("L12", "L43"),
+)
+def l43_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition-quality signals (Rae et al. 2021,
+    Table A1): per doc, the character fraction occupied by the single most
+    common word {2,3,4}-gram, the duplicated-5-gram instance fraction, and
+    the keep/drop verdict at the published thresholds (0.20 / 0.18 / 0.16 /
+    0.15). The paper's dup-n-gram signal counts characters inside
+    duplicated n-grams without double-counting overlaps; this computes the
+    instance-level variant (duplicated n-gram INSTANCES over total
+    instances) — same monotonicity, one hash aggregate instead of an
+    interval-merge, documented here so the threshold reads correctly.
+
+    Tie-break: "most common n-gram" takes max count, then the longest gram
+    among ties (max over (cnt, glen) structs — fieldwise comparison in both
+    engines), so the char fraction is deterministic.
+
+    Scale shape: explode → two hash aggregates (gram counts, then per-doc
+    tops) → one per-doc conditional-agg projection. The gram explosion is
+    the only row multiplier (×4 n-sizes × tokens) and reduces immediately
+    map-side; no window, no join — linear in corpus bytes, the same shape
+    Gopher ran over MassiveText."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "n_chars", TOKS().alias("toks"))
+    per_n = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), ngrams_of("toks", n).alias("grams"))
+            for n in (2, 3, 4, 5)
+        ]
+    )
+    grams = (
+        base.select("doc_id", "n_chars", F.explode(per_n).alias("g"))
+        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.explode("g.grams").alias("gram"))
+    )
+    cnts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = cnts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.struct(F.col("cnt").alias("cnt"), F.length("gram").alias("glen"))).alias("top"),
+        F.sum("cnt").alias("total_inst"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup_inst"),
+    )
+
+    def top_frac(n: int):
+        return F.max(
+            F.when(
+                F.col("n") == n,
+                (F.col("top.cnt") * F.col("top.glen")).cast("double") / F.col("n_chars"),
+            )
+        )
+
+    perdoc = stats.groupBy("doc_id").agg(
+        top_frac(2).alias("top2_raw"),
+        top_frac(3).alias("top3_raw"),
+        top_frac(4).alias("top4_raw"),
+        F.max(
+            F.when(F.col("n") == 5, F.col("dup_inst").cast("double") / F.col("total_inst"))
+        ).alias("dup5_raw"),
+    )
+    # a doc too short to HAVE n-grams of some n repeats nothing at that n:
+    # its signal coalesces to 0 (keep), not NULL — real corpora contain
+    # 1-token docs even though the graded fixtures floor at 10
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))
+    keep = (
+        (z("top2_raw") <= 0.20)
+        & (z("top3_raw") <= 0.18)
+        & (z("top4_raw") <= 0.16)
+        & (z("dup5_raw") <= 0.15)
+    )
+    # LEFT JOIN back onto documents: a doc with no n-grams at ALL (a
+    # 1-token doc has none for any n) must still get a verdict row, not
+    # silently vanish from the filter's output
+    perdoc = d.select("doc_id").join(perdoc, "doc_id", "left")
+    return perdoc.select(
+        "doc_id",
+        F.round(z("top2_raw"), 6).alias("top2_frac"),
+        F.round(z("top3_raw"), 6).alias("top3_frac"),
+        F.round(z("top4_raw"), 6).alias("top4_frac"),
+        F.round(z("dup5_raw"), 6).alias("dup5_frac"),
+        keep.alias("keep"),
+    )

@@ -228,3 +228,158 @@ def test_single_data_batch_guard():
     # zero data batches (empty source): also not the pinned contract
     with pytest.raises(RuntimeError, match="single-data-batch"):
         _assert_single_data_batch(_FakeQuery([0]))
+
+
+# --- L42 SRP-LSH ANN (session 2) ----------------------------------------------
+
+
+def test_l42_bands_shape_and_range(spark, sf_dir):
+    """Every vector emits exactly SRP_BANDS band rows, and band values fit
+    in SRP_BITS/SRP_BANDS bits — the bucket key the 100 TB layout would
+    partition on."""
+    from datums_warehouse_spark.llm.similarity import (
+        SRP_BANDS,
+        SRP_BITS,
+        _srp_bands,
+    )
+    from datums_warehouse_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bands = _srp_bands(emb).collect()
+    assert len(bands) == n * SRP_BANDS
+    rbits = SRP_BITS // SRP_BANDS
+    assert all(0 <= r.bandval < (1 << rbits) for r in bands)
+    assert all(0 <= r.band < SRP_BANDS for r in bands)
+
+
+def test_l42_results_are_banded_exact_rerank(spark, sf_dir):
+    """Per query: rn is contiguous from 1, cosine is non-increasing in rn,
+    every reported neighbor shares at least one band with its query (the
+    candidates really came from the buckets), and every cosine matches the
+    exact value to the rounding grain."""
+    from collections import defaultdict
+
+    from datums_warehouse_spark.llm.similarity import _srp_bands, l42_srp_ann
+    from datums_warehouse_spark.sources.tables import load
+
+    rows = l42_srp_ann(spark, sf_dir).collect()
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r)
+    bands = defaultdict(set)
+    for r in _srp_bands(load(spark, sf_dir, "embeddings")).collect():
+        bands[r.vec_id].add((r.band, r.bandval))
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:
+            assert bands[qid] & bands[r.neighbor_id], (
+                f"{qid}->{r.neighbor_id} shares no band — not a bucket candidate"
+            )
+
+
+def test_l42_recall_floor_vs_exact(spark, sf_dir):
+    """Deterministic recall@5 against the exact scan. The synthetic
+    embeddings are near-uniform random — SRP's adversarial case — so the
+    floor is modest; the assert pins that the banding doesn't silently
+    degenerate (e.g. all-zero hyperplanes would still 'pass' the shape
+    tests but collapse recall)."""
+    from datums_warehouse_spark.llm.similarity import l3_cosine_topk, l42_srp_ann
+
+    ann = {(r.query_id, r.neighbor_id) for r in l42_srp_ann(spark, sf_dir).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in l3_cosine_topk(spark, sf_dir).collect()}
+    assert exact
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.3, f"recall@5 collapsed to {recall}"
+
+
+# --- L43 Gopher repetition (session 2) -----------------------------------------
+
+
+@pytest.fixture()
+def text_corpus(spark, monkeypatch):
+    """Patch llm.text's documents table AND build the matching DuckDB view
+    (the fake_corpus pattern, pointed at the text module; documents here
+    carry n_chars, which l43's fractions divide by)."""
+    import datums_warehouse_spark.llm.text as TT
+
+    def _install(texts):
+        rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        monkeypatch.setattr(TT, "load", lambda s, d, n: df)
+        con = duckdb.connect()
+        vals = ", ".join(f"({i}, '{t}', 'en', 'src0', {n})" for i, t, _, _, n in rows)
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+            "AS t(doc_id, text, lang, source, n_chars)"
+        )
+        return df, con
+
+    return _install
+
+
+def _gopher_expected(text: str):
+    """Independent reimplementation of the l43 signals (pure Python)."""
+    from collections import Counter
+
+    toks = text.split(" ")
+    n_chars = len(text)
+    out = {}
+    for n in (2, 3, 4, 5):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        if not grams:
+            out[f"top{n}"] = 0.0
+            out[f"dup{n}"] = 0.0
+            continue
+        mc = max(c.values())
+        glen = max(len(g) for g, k in c.items() if k == mc)
+        out[f"top{n}"] = mc * glen / n_chars
+        out[f"dup{n}"] = sum(k for k in c.values() if k >= 2) / len(grams)
+    return out
+
+
+def test_l43_handbuilt_values_and_oracle_parity(spark, text_corpus):
+    """Exact signal values on hand-built docs (vs an independent Python
+    reimplementation) AND DuckDB oracle parity on the same corpus."""
+    import datums_warehouse_spark.llm.text as TT
+
+    texts = [
+        "a b a b a b",              # heavy 2/3/4-gram repetition, no 5-gram dup
+        # no repetition at all -> keep (long enough that one n-gram is a
+        # small char fraction — the Gopher thresholds assume real doc sizes)
+        " ".join(f"w{i}" for i in range(40)),
+        "x",                        # 1 token: every signal coalesces to 0
+        "x x x x x x x x x x x x",  # total repetition: every signal fires
+    ]
+    _, con = text_corpus(texts)
+    got = {r.doc_id: r for r in TT.l43_gopher_repetition(spark, "x").collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for i, t in enumerate(texts):
+        exp = _gopher_expected(t)
+        r = got[i]
+        assert r.top2_frac == round(exp["top2"], 6), (i, "top2")
+        assert r.top3_frac == round(exp["top3"], 6), (i, "top3")
+        assert r.top4_frac == round(exp["top4"], 6), (i, "top4")
+        assert r.dup5_frac == round(exp["dup5"], 6), (i, "dup5")
+        exp_keep = (
+            exp["top2"] <= 0.20
+            and exp["top3"] <= 0.18
+            and exp["top4"] <= 0.16
+            and exp["dup5"] <= 0.15
+        )
+        assert r.keep == exp_keep, (i, "keep")
+    # the repeated docs fail, the clean and degenerate-short docs keep
+    assert not got[0].keep and got[1].keep and got[2].keep and not got[3].keep
+    # full oracle parity on the synthetic corpus
+    q = all_queries()["l43_gopher_repetition"]
+    res = compare_frames(
+        "l43", TT.l43_gopher_repetition(spark, "x").toPandas(), con.execute(q.oracle).df()
+    )
+    assert res.ok, res.detail
