@@ -50,6 +50,9 @@ QUERIES = [
     "l2_dedup_clusters",
     "l40_incremental_dedup",
     "s17_dynamic_overwrite",
+    # round-9 session 2: the quadratic within-cell pair fold now rides an
+    # explicit cid repartition — core scaling IS the claim being fixed
+    "l41_semdedup_pairs",
 ]
 
 _CHILD = r"""

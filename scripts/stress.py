@@ -162,6 +162,14 @@ QUERIES = [
     # direct DuckDB oracle stays feasible at EVERY multiplier (~63 s at
     # 32×, the l18 class), so no analytic ceiling needed.
     "l41_semdedup_pairs",
+    # round-9 session 2: SRP-LSH ANN (banded signature join — replicated
+    # copies share signatures, so buckets and per-query candidates grow
+    # M× while the query set stays the fixed 10 probes; top-5 tie-break
+    # lands on the lowest-id copy, so the direct oracle stays exact) and
+    # the Gopher repetition filter (per-doc explode→agg, embarrassingly
+    # parallel — copies produce identical verdict rows under shifted ids).
+    "l42_srp_ann",
+    "l43_gopher_repetition",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:
