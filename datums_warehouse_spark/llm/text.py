@@ -1647,3 +1647,98 @@ def l43_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z("dup5_raw"), 6).alias("dup5_frac"),
         keep.alias("keep"),
     )
+
+
+# --- l44: DSIR importance weights (Xie et al. 2023) ---------------------
+
+DSIR_BUCKETS = 256  # hashed-unigram feature space (DSIR uses hashed n-grams)
+
+
+@query(
+    "l44_dsir_importance",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, lang,
+                   {sql_hash48("word")} % {DSIR_BUCKETS} AS b
+            FROM toks
+        ),
+        raw AS (SELECT b, count(*) AS raw_cnt FROM bucketed GROUP BY b),
+        tgt AS (SELECT b, count(*) AS tgt_cnt FROM bucketed
+                WHERE lang = 'en' GROUP BY b),
+        tot AS (
+            SELECT count(*) AS t_raw,
+                   count(*) FILTER (WHERE lang = 'en') AS t_tgt
+            FROM bucketed
+        ),
+        ratio AS (
+            SELECT raw.b,
+                   ln((coalesce(tgt_cnt, 0) + 1.0) / (t_tgt + {DSIR_BUCKETS}))
+                 - ln((raw_cnt + 1.0) / (t_raw + {DSIR_BUCKETS})) AS lr
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+        )
+        SELECT doc_id, lang,
+               count(*) AS n_tokens,
+               round({sql_dsum("lr", "DECIMAL(30,12)")}, 6) AS weight
+        FROM bucketed JOIN ratio USING (b)
+        GROUP BY doc_id, lang
+    """,
+    tags=("L44", "L19"),
+)
+def l44_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, Data Selection via Importance
+    Resampling): per-doc importance weight = Σ_tokens log p_target(bucket)
+    − log p_raw(bucket) over a hashed-unigram feature space with add-1
+    smoothing, target = the English subset (the published recipe's
+    "formal text" target, proxied by the corpus's lang facet). A positive
+    weight marks a doc whose token distribution looks more like the target
+    than the corpus average — resampling ∝ exp(weight) is the paper's
+    final step and is RNG territory, so the graded surface is the weight
+    itself (the way o5's samplers stop at the deterministic boundary).
+
+    Cross-engine determinism: buckets come from the portable md5-based
+    hash48; each bucket's log-ratio is computed ONCE (256-row table) and
+    per-doc summation routes through DECIMAL(30,12) — order-independent,
+    and the cast absorbs any last-ulp ln() divergence between Java and
+    libm (1 ulp ≈ 1e-16 ≪ the 1e-12 decimal grain ≪ the 6dp rounding).
+
+    Scale shape: one explode → two hash aggregates over 8-byte bucket ids
+    (raw/target counts; the token stream never shuffles strings), a
+    256-row broadcast ratio table, then one per-doc aggregate — linear in
+    corpus bytes, no window, no pair join. At 100 TB the only corpus-sized
+    exchanges carry (doc_id, bucket) pairs."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(TOKS()).alias("word"))
+    bucketed = toks.select(
+        "doc_id", "lang", (hash48("word") % DSIR_BUCKETS).alias("b")
+    )
+    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tgt"),
+    )
+    lr = F.log(
+        (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1.0)
+        / (F.col("t_tgt") + DSIR_BUCKETS)
+    ) - F.log((F.col("raw_cnt") + 1.0) / (F.col("t_raw") + DSIR_BUCKETS))
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(tot))
+        .select("b", lr.alias("lr"))
+    )
+    return (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dsum("lr", "decimal(30,12)"), 6).alias("weight"),
+        )
+    )

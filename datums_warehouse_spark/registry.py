@@ -236,7 +236,7 @@ _GRADE_FRONT_R08 = (
 _GRADE_FRONT = (
     # new round-9 operators (never graded)
     "l41_semdedup_pairs", "l41_semdedup_materialize",
-    "l42_srp_ann", "l43_gopher_repetition",
+    "l42_srp_ann", "l43_gopher_repetition", "l44_dsir_importance",
     # promoted rows-only → full oracle this round
     "t6_stateful_stream",
     # r04-era evidence (all 21 remaining)
@@ -258,7 +258,6 @@ _GRADE_FRONT = (
     "x4_series_validation", "x5_returns",
     "s1_parquet_scan", "s3_csv_roundtrip", "s4_jsonl_source",
     "s5_incremental_since",
-    "a8_candles_15m",
 )
 
 # Round-10 rotation, pre-staged (VERDICT r08 task 8) so the ledger's
@@ -267,8 +266,8 @@ _GRADE_FRONT = (
 # keys (comp1–18 and the llm text module). The ~15 remaining r06 keys
 # (sinks, streaming batch-equivalents, w9) rotate in r11.
 _GRADE_FRONT_R10 = (
-    # displaced from the r09 front by the session-2 l42/l43 additions
-    "w2_lag_lead", "w5_range_frame",
+    # displaced from the r09 front by the session-2 l42/l43/l44 additions
+    "w2_lag_lead", "w5_range_frame", "a8_candles_15m",
     # r05-era leftovers (20)
     "j9_asof_join", "l10_centroids", "l1_dedup_stats", "l1_exact_dedup",
     "l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs", "l2_ppjoin_pairs",

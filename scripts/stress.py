@@ -170,6 +170,11 @@ QUERIES = [
     # parallel — copies produce identical verdict rows under shifted ids).
     "l42_srp_ann",
     "l43_gopher_repetition",
+    # DSIR importance weights: explode -> bucket-count aggregates -> 256-row
+    # broadcast ratio -> per-doc decimal sum; replication shifts the
+    # bucket-count ratios identically on both engines, direct oracle at
+    # every multiplier
+    "l44_dsir_importance",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:

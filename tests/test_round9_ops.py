@@ -383,3 +383,31 @@ def test_l43_handbuilt_values_and_oracle_parity(spark, text_corpus):
         "l43", TT.l43_gopher_repetition(spark, "x").toPandas(), con.execute(q.oracle).df()
     )
     assert res.ok, res.detail
+
+
+# --- L44 DSIR importance (session 2) --------------------------------------------
+
+
+def test_l44_target_docs_score_higher(spark, sf_dir):
+    """The importance weight must separate the target distribution from
+    the rest: mean weight of target-language (en) docs exceeds the mean of
+    every other language, and weights are finite."""
+    import math
+    from collections import defaultdict
+
+    from datums_warehouse_spark.llm.text import l44_dsir_importance
+
+    rows = l44_dsir_importance(spark, sf_dir).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert math.isfinite(r.weight)
+        by_lang[r.lang].append(r.weight)
+    assert "en" in by_lang
+    en_mean = sum(by_lang["en"]) / len(by_lang["en"])
+    for lang, ws in by_lang.items():
+        if lang == "en":
+            continue
+        assert en_mean > sum(ws) / len(ws), (
+            f"en mean {en_mean} not above {lang} mean — weights don't separate"
+        )
