@@ -1742,3 +1742,149 @@ def l44_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("lr", "decimal(30,12)"), 6).alias("weight"),
         )
     )
+
+
+# --- l45: cross-document n-gram novelty (memorization-risk profile) -----
+
+NOVELTY_N = 8  # word n-gram width: long enough that sharing implies copying
+
+
+@query(
+    "l45_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   {sql_hash48(f"array_to_string(t[i + 1 : i + {NOVELTY_N}], ' ')")} AS h
+            FROM toks, UNNEST(range(len(t) - {NOVELTY_N - 1})) AS a(i)
+        ),
+        gc AS (SELECT h, count(*) AS n_docs FROM g GROUP BY h),
+        perdoc AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared
+            FROM g JOIN gc USING (h)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(n_shared, 0) AS n_shared,
+               coalesce(n_shared * 5 >= n_grams, FALSE) AS dup_risk
+        FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """,
+    tags=("L45", "scale"),
+)
+def l45_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty — the memorization-risk profile a
+    training-data pipeline computes before mixing a source in: for each
+    doc, how many of its distinct word 8-grams appear in at least one
+    OTHER document (Lee et al. 2022 / Carlini et al. 2022 measure
+    memorization through exactly these long-n-gram overlaps). A doc whose
+    shared fraction reaches 20% (`n_shared * 5 >= n_grams`, exact integer
+    cross-multiplication — no float ratio in the verdict) is flagged
+    `dup_risk`; docs shorter than 8 tokens have no 8-grams and report
+    (0, 0, false) via the left join back onto `documents`.
+
+    Distinctness is taken over the 48-bit gram HASH on both engines (a
+    within-doc collision would otherwise count once in DuckDB and twice
+    here), so the two plans group identical key sets.
+
+    Scale shape: the corpus-sized exchanges carry only (doc_id, 8-byte
+    hash) pairs — grams are hashed map-side before any shuffle. One
+    distinct, one count-per-gram hash aggregate, one hash join back on the
+    gram hash (both sides already partitioned by it — AQE reuses the
+    exchange), one per-doc aggregate. No window, no pair join: linear in
+    corpus bytes, the same inverted-index discipline as l21/l33."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.explode(ngrams_of(TOKS(), NOVELTY_N)).alias("gram"))
+        .select("doc_id", hash48("gram").alias("h"))
+        .distinct()
+    )
+    gc = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    perdoc = (
+        grams.join(gc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long"))
+    return d.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        z("n_grams").alias("n_grams"),
+        z("n_shared").alias("n_shared"),
+        F.coalesce(F.col("n_shared") * 5 >= F.col("n_grams"), F.lit(False)).alias(
+            "dup_risk"
+        ),
+    )
+
+
+# --- l46: tokenizer fertility report (tokenizer-selection QA) -----------
+
+
+@query(
+    "l46_tokenizer_fertility",
+    oracle=r"""
+        WITH perdoc AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS ws,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe,
+                   n_chars
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(bpe) * 10000 // sum(ws) AS BIGINT) AS fertility_x10000,
+               CAST(sum(n_chars) * 100 // sum(bpe) AS BIGINT) AS chars_per_tok_x100
+        FROM perdoc
+        GROUP BY lang
+    """,
+    tags=("L46",),
+)
+def l46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the QA report that drives
+    tokenizer selection (fertility = subword tokens per whitespace word;
+    a language whose fertility is high pays more sequence length per word,
+    so its effective context and training cost differ). Uses l13's two
+    tokenizations (whitespace vs the BPE-ish letter-run/digit-run/other
+    regex) aggregated per language, with the ratios reported as exact
+    scaled integers (floor division on both engines — positive operands,
+    so DuckDB's `//` and Spark's `div` agree) rather than engine-rounded
+    doubles.
+
+    Scale shape: one projection computing per-doc counts inside codegen
+    (regexp_count never explodes the token stream) and one 4-group hash
+    aggregate — embarrassingly parallel, linear in corpus bytes."""
+    d = load(spark, sf_dir, "documents")
+    perdoc = d.select(
+        "lang",
+        F.size(TOKS()).cast("long").alias("ws"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias(
+            "bpe"
+        ),
+        "n_chars",
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr("bpe_tokens * 10000 div ws_tokens").alias("fertility_x10000"),
+            F.expr("n_chars_sum * 100 div bpe_tokens").alias("chars_per_tok_x100"),
+        )
+    )

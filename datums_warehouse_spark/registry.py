@@ -237,6 +237,12 @@ _GRADE_FRONT = (
     # new round-9 operators (never graded)
     "l41_semdedup_pairs", "l41_semdedup_materialize",
     "l42_srp_ann", "l43_gopher_repetition", "l44_dsir_importance",
+    # session-3 additions (never graded): the n-gram memorization-risk
+    # profile, the tokenizer-fertility QA report, and the ORC round-trip.
+    # They displace s3/s4/s5 to the r10 head (s19 exercises the same
+    # _event_agg round-trip contract s3/s4 hold r05-green rows for, so
+    # deferring those refreshes one round is the low-risk trade).
+    "l45_ngram_novelty", "l46_tokenizer_fertility", "s19_orc_roundtrip",
     # promoted rows-only → full oracle this round
     "t6_stateful_stream",
     # r04-era evidence (all 21 remaining)
@@ -256,8 +262,7 @@ _GRADE_FRONT = (
     "d4_python_udtf", "d5_sql_registration",
     "x2_gap_detection", "x3_interpolate_linear", "x3b_interpolate_scaled",
     "x4_series_validation", "x5_returns",
-    "s1_parquet_scan", "s3_csv_roundtrip", "s4_jsonl_source",
-    "s5_incremental_since",
+    "s1_parquet_scan",
 )
 
 # Round-10 rotation, pre-staged (VERDICT r08 task 8) so the ledger's
@@ -268,6 +273,8 @@ _GRADE_FRONT = (
 _GRADE_FRONT_R10 = (
     # displaced from the r09 front by the session-2 l42/l43/l44 additions
     "w2_lag_lead", "w5_range_frame", "a8_candles_15m",
+    # displaced from the r09 front by the session-3 l45/l46/s19 additions
+    "s3_csv_roundtrip", "s4_jsonl_source", "s5_incremental_since",
     # r05-era leftovers (20)
     "j9_asof_join", "l10_centroids", "l1_dedup_stats", "l1_exact_dedup",
     "l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs", "l2_ppjoin_pairs",

@@ -449,11 +449,8 @@ def s13_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out, f"part-orphan-{i}-{uuid.uuid4().hex}.parquet"),
         )
 
-    manifest = {
-        line.strip()
-        for line in open(os.path.join(out, "_MANIFEST"))
-        if line.strip()
-    }
+    with open(os.path.join(out, "_MANIFEST")) as fh:
+        manifest = {line.strip() for line in fh if line.strip()}
     for f in os.listdir(out):
         if f.endswith(".parquet") and f not in manifest:
             os.remove(os.path.join(out, f))
@@ -782,3 +779,31 @@ def s18_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(v).alias("version"), "event_type", "n", "total_value")
         )
     return frames[0].unionByName(frames[1])
+
+
+@query("s19_orc_roundtrip", oracle=_SQL_EVENT_AGG, tags=("S19", "eager"))
+def s19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the second columnar format Spark ships natively
+    (a warehouse ingesting from Hive/Hadoop estates reads ORC as often as
+    parquet). Same contract as s3/s4: write the events table, read it
+    back, and grade the aggregate of the round-tripped rows against the
+    oracle computed on the ORIGINAL parquet — any encode/decode drift
+    (value doubles, row loss) breaks the hash match.
+
+    The timestamp travels as epoch micros (a long) exactly like the
+    CSV/JSONL round-trips: ORC's own timestamp logical type round-trips
+    through writer-local time-zone metadata, and the graded aggregate
+    shouldn't depend on that — the integer carry makes the round-trip
+    byte-exact by construction.
+
+    Scale shape: one distributed columnar write + one scan-aggregate;
+    ORC predicate pushdown and column pruning work like parquet's, so the
+    read-side plan is identical to s1's (the aggregate reads only
+    event_type/value)."""
+    out = _sink_dir("s19_orc", sf_dir)
+    e = events_us(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    e.write.orc(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, props string, ts_us long"
+    ).orc(out)
+    return _event_agg(back)

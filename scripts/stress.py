@@ -175,6 +175,14 @@ QUERIES = [
     # bucket-count ratios identically on both engines, direct oracle at
     # every multiplier
     "l44_dsir_importance",
+    # session 3: the n-gram novelty profile (inverted-index shape — only
+    # 8-byte gram hashes shuffle; replication multiplies sharers per gram
+    # so n_shared flips from 0 to all for replicated docs, and the direct
+    # DuckDB oracle stays feasible at every multiplier) and the tokenizer
+    # fertility report (one codegen projection + 5-group hash aggregate —
+    # the embarrassingly-parallel floor).
+    "l45_ngram_novelty",
+    "l46_tokenizer_fertility",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:

@@ -14,7 +14,7 @@ from datums_warehouse_spark import all_queries
 # T8-T11 genuine streams, X6-X9, L15-L24) — the full current surface is
 # the gate, so an extension row silently dropping out fails CI too.
 INVENTORY = (
-    [f"s{i}" for i in range(1, 19)]         # scans/sinks/connectors/maintenance (incl. S16 SCD2, S17 overwrite, S18 time travel)
+    [f"s{i}" for i in range(1, 20)]         # scans/sinks/connectors/maintenance (incl. S17 overwrite, S18 time travel, S19 ORC)
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 15)]       # joins (J11 salted, J12 bloom, J13 interval, J14 null-safe)
     + [f"a{i}" for i in range(1, 14)]       # aggregations (incl. A12 KMV sketch, A13 histogram)
@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
     + [f"x{i}" for i in range(1, 13)]       # time-series specials (incl. X11 TWAP, X12 cohort retention)
-    + [f"l{i}" for i in range(1, 42)]       # LLM pipeline (incl. L40 incremental dedup, L41 SemDeDup)
+    + [f"l{i}" for i in range(1, 47)]       # LLM pipeline (incl. L41 SemDeDup … L45 novelty, L46 fertility)
     + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )
 

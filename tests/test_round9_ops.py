@@ -411,3 +411,128 @@ def test_l44_target_docs_score_higher(spark, sf_dir):
         assert en_mean > sum(ws) / len(ws), (
             f"en mean {en_mean} not above {lang} mean — weights don't separate"
         )
+
+
+# --- L45 n-gram novelty / L46 tokenizer fertility (session 3) -----------------
+
+
+@pytest.fixture()
+def fake_text_corpus(spark, monkeypatch):
+    """Like fake_corpus but patches llm.text's loader and carries the
+    n_chars column the text-module operators read."""
+    import datums_warehouse_spark.llm.text as TT
+
+    def _install(rows):
+        rows = [(*r, len(r[1])) for r in rows]  # n_chars = len(text)
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        monkeypatch.setattr(TT, "load", lambda s, d, n: df)
+        con = duckdb.connect()
+        vals = ", ".join(
+            f"({i}, '{t}', '{lg}', '{src}', {nc})" for i, t, lg, src, nc in rows
+        )
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+            "AS t(doc_id, text, lang, source, n_chars)"
+        )
+        return df, con
+
+    return _install
+
+
+def _l45_check(spark, con, expected):
+    import datums_warehouse_spark.llm.text as TT
+
+    spark_pdf = TT.l45_ngram_novelty(spark, "x").toPandas()
+    got = {
+        (r.doc_id, r.n_grams, r.n_shared, r.dup_risk)
+        for r in spark_pdf.itertuples()
+    }
+    assert got == expected, f"{got} != {expected}"
+    oracle_pdf = con.execute(all_queries()["l45_ngram_novelty"].oracle).fetchdf()
+    res = compare_frames("l45_edge", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+def test_l45_short_docs_report_zero_not_null(spark, fake_text_corpus):
+    """Docs with fewer than 8 tokens have no 8-grams: they must still get
+    a (0, 0, false) row — and Spark's descending sequence() trap must not
+    fabricate garbage grams for them."""
+    _, con = fake_text_corpus(
+        [
+            (1, toks("a", 7), "en", "web"),   # 7 tokens: no 8-gram
+            (2, toks("b", 8), "en", "web"),   # exactly one 8-gram, unshared
+            (3, toks("c", 20), "en", "web"),  # 13 grams, all unique
+        ]
+    )
+    _l45_check(
+        spark,
+        con,
+        {(1, 0, 0, False), (2, 1, 0, False), (3, 13, 0, False)},
+    )
+
+
+def test_l45_identical_docs_fully_shared(spark, fake_text_corpus):
+    """Two identical docs share every 8-gram → 100% shared, dup_risk on
+    both; a third unique doc stays clean."""
+    text = toks("d", 15)  # 8 distinct 8-grams
+    _, con = fake_text_corpus(
+        [(1, text, "en", "web"), (2, text, "en", "wiki"), (3, toks("u", 15), "en", "web")]
+    )
+    _l45_check(
+        spark,
+        con,
+        {(1, 8, 8, True), (2, 8, 8, True), (3, 8, 0, False)},
+    )
+
+
+def test_l45_exact_20pct_boundary_flags(spark, fake_text_corpus):
+    """dup_risk fires AT the 20% boundary (n_shared*5 >= n_grams — integer
+    cross-multiplication, no float ratio): a doc with exactly 1 shared
+    gram out of 5 is flagged; 1 of 6 is not."""
+    x = toks("x", 8)  # the shared 8-gram
+    # doc 1: 12 tokens = 5 grams, first gram = x's gram (tokens x0..x7)
+    d1 = f"{x} p0 p1 p2 p3"
+    # doc 2: 13 tokens = 6 grams, first gram shared
+    d2 = f"{x} q0 q1 q2 q3 q4"
+    # doc 3 embeds x behind a unique prefix so only x's own gram is shared
+    d3 = f"{toks('z', 8)} {x}"
+    _, con = fake_text_corpus(
+        [(1, d1, "en", "web"), (2, d2, "en", "web"), (3, d3, "en", "web")]
+    )
+    _l45_check(
+        spark,
+        con,
+        {(1, 5, 1, True), (2, 6, 1, False), (3, 9, 1, False)},
+    )
+
+
+def test_l46_fertility_floor_division_and_oracle(spark, fake_text_corpus):
+    """The scaled ratios are exact floor divisions: a lang whose
+    bpe/ws ratio is non-terminating (1/3) must floor identically in both
+    engines, and per-lang totals must be exact."""
+    import datums_warehouse_spark.llm.text as TT
+
+    _, con = fake_text_corpus(
+        [
+            # en: 3 ws tokens, bpe = 3 letter-runs + 1 digit-run = 4
+            (1, "ab cd 9x", "en", "web"),
+            # de: 3 ws tokens, 1 bpe token each → fertility 10000//3*... :
+            # ws=3, bpe=3+... 'foo bar baz' → 3 runs → 10000*3//3=10000
+            (2, "foo bar baz", "de", "web"),
+        ]
+    )
+    pdf = TT.l46_tokenizer_fertility(spark, "x").toPandas().set_index("lang")
+    en = pdf.loc["en"]
+    # 'ab cd 9x' → runs: ab, cd, 9, x → 4 bpe tokens over 3 ws words
+    assert int(en.ws_tokens) == 3 and int(en.bpe_tokens) == 4
+    assert int(en.fertility_x10000) == 4 * 10000 // 3  # 13333, floored
+    assert int(en.chars_per_tok_x100) == len("ab cd 9x") * 100 // 4
+    oracle_pdf = con.execute(
+        all_queries()["l46_tokenizer_fertility"].oracle
+    ).fetchdf()
+    res = compare_frames(
+        "l46_edge", TT.l46_tokenizer_fertility(spark, "x").toPandas(), oracle_pdf
+    )
+    assert res.ok, res.detail
