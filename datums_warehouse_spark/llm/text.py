@@ -1533,26 +1533,39 @@ def ngrams_of(toks, n: int):
             SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents
         ),
         grams AS (
-            SELECT doc_id, n_chars, n, array_to_string(t[i+1:i+n], ' ') AS gram
-            FROM toks, UNNEST([2, 3, 4, 5]) AS a(n),
-                 UNNEST(range(len(t) - n + 1)) AS b(i)
+            -- unnest a COMPUTED gram list so the full token list t never
+            -- rides along the 10M+-row gram stream (a lateral unnest over
+            -- positions kept t on every row — ~2 KB each — and OOM'd the
+            -- 8x stress oracle; this form carries only the gram string)
+            SELECT doc_id, n_chars, n,
+                   unnest(list_transform(
+                       range(len(t) - n + 1),
+                       i -> array_to_string(t[i+1:i+n], ' ')
+                   )) AS gram
+            FROM toks, UNNEST([2, 3, 4, 5]) AS a(n)
         ),
         cnts AS (
             SELECT doc_id, n_chars, n, gram, count(*) AS cnt
             FROM grams GROUP BY ALL
         ),
         stats AS (
+            -- top (cnt, glen) via an ENCODED integer max: cnt*100000+glen
+            -- is lexicographic (cnt, glen) while glen < 100000 (grams are
+            -- <= 5 short words), matching Spark's max(struct(cnt, glen))
+            -- exactly. DuckDB's max(struct_pack(...)) over the multi-
+            -- million-row gram stream is superlinear (> 490 s at the 8x
+            -- stress scale vs ~5 s at 1x); the integer max is linear.
             SELECT doc_id, n_chars, n,
-                   max(struct_pack(cnt := cnt, glen := len(gram))) AS top,
+                   max(cnt * 100000 + len(gram)) AS top_enc,
                    sum(cnt) AS total_inst,
                    sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_inst
             FROM cnts GROUP BY ALL
         ),
         perdoc AS (
             SELECT doc_id,
-                   max(CASE WHEN n = 2 THEN CAST(top.cnt * top.glen AS DOUBLE) / n_chars END) AS top2_raw,
-                   max(CASE WHEN n = 3 THEN CAST(top.cnt * top.glen AS DOUBLE) / n_chars END) AS top3_raw,
-                   max(CASE WHEN n = 4 THEN CAST(top.cnt * top.glen AS DOUBLE) / n_chars END) AS top4_raw,
+                   max(CASE WHEN n = 2 THEN CAST((top_enc // 100000) * (top_enc % 100000) AS DOUBLE) / n_chars END) AS top2_raw,
+                   max(CASE WHEN n = 3 THEN CAST((top_enc // 100000) * (top_enc % 100000) AS DOUBLE) / n_chars END) AS top3_raw,
+                   max(CASE WHEN n = 4 THEN CAST((top_enc // 100000) * (top_enc % 100000) AS DOUBLE) / n_chars END) AS top4_raw,
                    max(CASE WHEN n = 5 THEN CAST(dup_inst AS DOUBLE) / total_inst END) AS dup5_raw
             FROM stats GROUP BY doc_id
         )

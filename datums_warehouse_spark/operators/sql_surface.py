@@ -121,3 +121,69 @@ def sql2_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn <= 3
         """
     )
+
+
+@query(
+    "sql3_recursive_cte",
+    oracle=f"""
+        WITH RECURSIVE spine AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+            FROM orders
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx
+            FROM spine WHERE m < mx
+        ),
+        per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   count(*) AS n_orders,
+                   {DSUM.format(x="o_totalprice")} AS revenue
+            FROM orders
+            GROUP BY m
+        )
+        SELECT strftime(spine.m, '%Y-%m') AS month,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN per_month ON per_month.m = spine.m
+    """,
+    tags=("SQL3",),
+)
+def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 `WITH RECURSIVE`, new in Spark 4): a
+    gap-free calendar-month spine unrolled from the order-date range —
+    anchor = one aggregate row carrying (first month, last month), step =
+    add one month while below the bound — LEFT-joined with the per-month
+    order rollup so empty months surface as explicit zero rows (the
+    revenue-reporting shape where a missing month must read 0, not
+    vanish). The recursion is self-contained: bounds travel inside the
+    working set, so neither engine needs correlated scalar subqueries in
+    the recursive member.
+
+    Scale shape: the recursion generates O(calendar months) rows — bounded
+    by time, not data — while the corpus-sized work is one map-side-
+    combinable hash aggregate; the spine-side join broadcasts. Recursion
+    depth ≈ months of history (safely under any iteration limit)."""
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx
+            FROM {o}
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE), mx
+            FROM spine WHERE m < mx
+        ),
+        per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   count(*) AS n_orders,
+                   {DSUM.format(x="o_totalprice")} AS revenue
+            FROM {o}
+            GROUP BY m
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS month,
+               coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM spine LEFT JOIN per_month ON per_month.m = spine.m
+        """
+    )

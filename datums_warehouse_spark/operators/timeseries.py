@@ -1133,3 +1133,43 @@ def x12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x13_dow_hour_profile",
+    oracle="""
+        SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value)
+                   AS avg_value
+        FROM events
+        GROUP BY dow, hr
+    """,
+    tags=("X13",),
+)
+def x13_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour seasonal load profile — the weekly seasonality
+    matrix an ops/trading dashboard derives from any event-time series
+    (count and exact-decimal mean value per (weekday, hour) cell, Monday
+    = 0 matching Spark's weekday() and DuckDB's isodow()-1).
+
+    Bucketing runs on the canonical naive wall clock (events_us +
+    UTC-pinned session), so the profile is host-timezone independent —
+    the same discipline as every X-family bucketing op.
+
+    Scale shape: one projection inside codegen + one hash aggregate onto
+    at most 168 cells — map-side combine reduces each task to its own
+    168-row partial, the exchange carries almost nothing."""
+    from datums_warehouse_spark.functions.determinism import davg
+
+    e = events_us(spark, sf_dir)
+    return (
+        e.select(
+            F.weekday("ts").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+            "value",
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
+    )

@@ -243,6 +243,12 @@ _GRADE_FRONT = (
     # _event_agg round-trip contract s3/s4 hold r05-green rows for, so
     # deferring those refreshes one round is the low-risk trade).
     "l45_ngram_novelty", "l46_tokenizer_fertility", "s19_orc_roundtrip",
+    # session-3 batch 2 (never graded): grouped mode with deterministic
+    # tie-break, the weekly seasonality matrix, and the recursive-CTE
+    # month spine (Spark 4's WITH RECURSIVE). They displace d4/d5/f8 —
+    # the least rot-sensitive front keys (row-at-a-time UDF demos and
+    # pure string hashing, no timestamp dependence) — to the r10 head.
+    "a14_grouped_mode", "x13_dow_hour_profile", "sql3_recursive_cte",
     # promoted rows-only → full oracle this round
     "t6_stateful_stream",
     # r04-era evidence (all 21 remaining)
@@ -257,9 +263,8 @@ _GRADE_FRONT = (
     # the two r05 windows, and the 15m candles
     "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
     "f4_conditional_funcs", "f5_cast_funcs", "f6_array_funcs",
-    "f7_json_funcs", "f8_hash_funcs",
+    "f7_json_funcs",
     "d1_scalar_udf", "d2_pandas_udf", "d2_pandas_udaf", "d3_grouped_apply",
-    "d4_python_udtf", "d5_sql_registration",
     "x2_gap_detection", "x3_interpolate_linear", "x3b_interpolate_scaled",
     "x4_series_validation", "x5_returns",
     "s1_parquet_scan",
@@ -275,6 +280,8 @@ _GRADE_FRONT_R10 = (
     "w2_lag_lead", "w5_range_frame", "a8_candles_15m",
     # displaced from the r09 front by the session-3 l45/l46/s19 additions
     "s3_csv_roundtrip", "s4_jsonl_source", "s5_incremental_since",
+    # displaced from the r09 front by the session-3 a14/x13/sql3 additions
+    "f8_hash_funcs", "d4_python_udtf", "d5_sql_registration",
     # r05-era leftovers (20)
     "j9_asof_join", "l10_centroids", "l1_dedup_stats", "l1_exact_dedup",
     "l2_minhash_lsh_pairs", "l2_ngram_jaccard_pairs", "l2_ppjoin_pairs",

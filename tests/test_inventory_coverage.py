@@ -17,13 +17,13 @@ INVENTORY = (
     [f"s{i}" for i in range(1, 20)]         # scans/sinks/connectors/maintenance (incl. S17 overwrite, S18 time travel, S19 ORC)
     + [f"p{i}" for i in range(1, 8)]        # projection / filter
     + [f"j{i}" for i in range(1, 15)]       # joins (J11 salted, J12 bloom, J13 interval, J14 null-safe)
-    + [f"a{i}" for i in range(1, 14)]       # aggregations (incl. A12 KMV sketch, A13 histogram)
+    + [f"a{i}" for i in range(1, 15)]       # aggregations (incl. A13 histogram, A14 grouped mode)
     + [f"w{i}" for i in range(1, 10)]       # windows
     + [f"o{i}" for i in range(1, 8)]        # sort / limit / top-k / sample / zorder / hash-sample
     + [f"u{i}" for i in range(1, 7)]        # set ops (incl. EXCEPT ALL, INTERSECT ALL)
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
-    + [f"x{i}" for i in range(1, 13)]       # time-series specials (incl. X11 TWAP, X12 cohort retention)
+    + [f"x{i}" for i in range(1, 14)]       # time-series specials (incl. X12 cohort retention, X13 seasonality)
     + [f"l{i}" for i in range(1, 47)]       # LLM pipeline (incl. L41 SemDeDup … L45 novelty, L46 fertility)
     + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )

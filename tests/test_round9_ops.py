@@ -536,3 +536,74 @@ def test_l46_fertility_floor_division_and_oracle(spark, fake_text_corpus):
         "l46_edge", TT.l46_tokenizer_fertility(spark, "x").toPandas(), oracle_pdf
     )
     assert res.ok, res.detail
+
+
+# --- A14 grouped mode / X13 seasonality / SQL3 recursive CTE (session 3) ------
+
+
+def test_a14_mode_tie_break_lowest_bucket(spark, monkeypatch):
+    """Two buckets tie on count → the LOWER bucket must win on both
+    engines (the tie-break is part of the graded semantics)."""
+    import datums_warehouse_spark.operators.aggregates as AG
+
+    rows = [
+        # type 'a': bucket 10.0 ×2, bucket 30.0 ×2 (tie → 10.0), 50.0 ×1
+        (1, "a", 12.0), (2, "a", 15.0), (3, "a", 31.0), (4, "a", 39.0),
+        (5, "a", 55.0),
+        # type 'b': negative values floor toward -inf: -0.1 → bucket -10.0
+        (6, "b", -0.1), (7, "b", -5.0), (8, "b", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    monkeypatch.setattr(AG, "events_us", lambda s, d: df)
+    got = {r.event_type: (r.mode_bucket, r.mode_n) for r in AG.a14_grouped_mode(spark, "x").collect()}
+    assert got["a"] == (10.0, 2)
+    assert got["b"] == (-10.0, 2)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', {v})" for i, t, v in rows)
+        + ") AS t(event_id, event_type, value)"
+    )
+    res = compare_frames(
+        "a14_edge",
+        AG.a14_grouped_mode(spark, "x").toPandas(),
+        con.execute(all_queries()["a14_grouped_mode"].oracle).fetchdf(),
+    )
+    assert res.ok, res.detail
+
+
+def test_x13_monday_is_zero_and_cells_bounded(spark, sf_dir):
+    """Weekday numbering pins Monday=0 (Spark weekday == DuckDB isodow-1);
+    output is at most 168 cells with exact decimal means."""
+    import datums_warehouse_spark.operators.timeseries as TS
+
+    pdf = TS.x13_dow_hour_profile(spark, sf_dir).toPandas()
+    assert len(pdf) <= 168
+    assert pdf.dow.between(0, 6).all() and pdf.hr.between(0, 23).all()
+    # cross-check one cell against a direct computation
+    import duckdb as dk
+
+    con = dk.connect()
+    exp = con.execute(
+        f"SELECT CAST(isodow(ts) - 1 AS INT) AS dow, count(*) AS n "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    got = pdf.groupby("dow", as_index=False)["n"].sum().sort_values("dow")
+    assert list(got.n) == list(exp.n)
+
+
+def test_sql3_spine_has_no_month_gaps(spark, sf_dir):
+    """The recursive spine is gap-free and spans exactly the order-date
+    range; months with no orders carry explicit zeros."""
+    import pandas as pd
+
+    from datums_warehouse_spark.operators.sql_surface import sql3_recursive_cte
+
+    pdf = sql3_recursive_cte(spark, sf_dir).toPandas().sort_values("month")
+    months = pd.to_datetime(pdf.month)
+    diffs = months.diff().dropna()
+    # consecutive calendar months: every step is 28–31 days
+    assert ((diffs.dt.days >= 28) & (diffs.dt.days <= 31)).all()
+    assert (pdf.n_orders >= 0).all()
+    assert pdf.n_orders.sum() > 0
