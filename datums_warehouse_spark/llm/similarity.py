@@ -996,39 +996,68 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_pairs(cells: DataFrame) -> DataFrame:
     """Within-cell cosine pairs ≥ θ (raw cosine kept for downstream).
 
-    The explicit repartition on the cell key buys two things at once
-    (measured 4.5 s → 0.8 s on the 251k-pair sf0.1 stage): the self-join's
-    two sides become IDENTICAL exchanges, so Catalyst plans a
-    ReusedExchange and the E-step fold runs ONCE instead of twice; and the
-    quadratic per-cell pair work (the interpreted cosine fold is the hot
-    path) lands spread across shuffle partitions instead of riding the
-    handful of scan tasks a broadcast self-join would keep. Parallelism
-    scales with K, and K ∝ N — exactly the property a 1000-executor run
-    needs. The partition count is pinned to defaultParallelism (cluster
-    core count): an un-numbered repartition gets AQE-coalesced back to one
-    tiny partition — byte-based sizing is blind to the QUADRATIC per-row
-    fold work — and the folds serialize again (measured: 3.6 s vs 0.8 s).
-    Explicit counts are exempt from AQE coalescing."""
-    cores = cells.sparkSession.sparkContext.defaultParallelism
-    cells = cells.repartition(cores, "cid")
-    a = cells.select(
-        F.col("cid"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("demb").alias("a_emb"),
-        F.col("norm").alias("a_norm"),
-    )
-    b = cells.select(
-        F.col("cid").alias("b_cid"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("demb").alias("b_emb"),
-        F.col("norm").alias("b_norm"),
-    )
-    cos = ddot_pre("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
-    return (
-        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= SEMDEDUP_THETA)
-        .select("cid", "vec_a", "vec_b", "cos_raw")
+    The quadratic per-cell pair work runs as a VECTORIZED numpy kernel in
+    ``applyInPandas`` — the pattern the brief sanctions for exactly this
+    (dense pairwise similarity): one Arrow exchange keyed by cell, then
+    per-cell C(|cell|,2) dot products as elementwise array math instead of
+    a self-join whose interpreted per-pair ``aggregate``/``zip_with`` fold
+    allocates a dim-sized array per pair (the r09 session-2 join cut
+    measured 3.97 s at the 8× stress scale but degraded super-linearly to
+    >580 s at 32× — allocation-bound, not FLOP-bound; this kernel runs the
+    same 32× stage in seconds). Parallelism scales with K, and K ∝ N —
+    the property a 1000-executor run needs; per-task memory is bounded by
+    CELL_TARGET² doubles.
+
+    Cross-engine determinism: the dot product is ``np.cumsum`` over the
+    elementwise product row — the IDENTICAL left-fold addition order as
+    Spark's ``aggregate(zip_with(...))`` tree and DuckDB's
+    ``list_dot_product`` loop (0.0 + p0 ≡ p0 in IEEE), so every pair's
+    cosine is bit-equal to the SQL oracle's; pairs are emitted with
+    vec_a < vec_b from the cell sorted by vec_id."""
+    theta = SEMDEDUP_THETA
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cid": pd.Series(dtype="int64"),
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["demb"]])
+        ids = pdf["vec_id"].to_numpy()
+        norms = pdf["norm"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            # exact left-fold dot: cumsum reproduces ((p0+p1)+p2)+…
+            dots = np.cumsum(E[i] * E[i + 1 :], axis=1)[:, -1]
+            cos = dots / (norms[i] * norms[i + 1 :])
+            m = cos >= theta
+            if m.any():
+                out_a.append(np.full(int(m.sum()), ids[i]))
+                out_b.append(ids[i + 1 :][m])
+                out_c.append(cos[m])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "cid": np.full(sum(len(x) for x in out_a), int(pdf["cid"].iloc[0])),
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return cells.groupBy("cid").applyInPandas(
+        cell_pairs, "cid long, vec_a long, vec_b long, cos_raw double"
     )
 
 

@@ -53,6 +53,9 @@ QUERIES = [
     # round-9 session 2: the quadratic within-cell pair fold now rides an
     # explicit cid repartition — core scaling IS the claim being fixed
     "l41_semdedup_pairs",
+    # round-9 session 3: the inverted-index novelty profile (hash-keyed
+    # gram exchange — the l21/l33 shape family's newest member)
+    "l45_ngram_novelty",
 ]
 
 _CHILD = r"""

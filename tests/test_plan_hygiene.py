@@ -47,6 +47,13 @@ PANDAS_ALLOWED = {
     "x6_ema",                  # recursive filter: y[i] = f(y[i-1])
     "x3b_interpolate_scaled",  # chunked applyInPandas interpolation
     "l9_multimodal_features",  # mapInPandas binary feature extraction
+    # SemDeDup's within-cell pairwise cosine: dense linear algebra as a
+    # vectorized numpy kernel per cell (the brief's sanctioned pattern for
+    # similarity) — the interpreted per-pair SQL fold was allocation-bound
+    # and super-linear at the 32× stress scale; cumsum keeps the exact
+    # left-fold sum order so the SQL oracle still hash-matches.
+    "l41_semdedup_pairs",
+    "l41_semdedup_materialize",
 }
 
 PANDAS_NODES = (
