@@ -1550,13 +1550,17 @@ def ngrams_of(toks, n: int):
         ),
         stats AS (
             -- top (cnt, glen) via an ENCODED integer max: cnt*100000+glen
-            -- is lexicographic (cnt, glen) while glen < 100000 (grams are
-            -- <= 5 short words), matching Spark's max(struct(cnt, glen))
-            -- exactly. DuckDB's max(struct_pack(...)) over the multi-
-            -- million-row gram stream is superlinear (> 490 s at the 8x
-            -- stress scale vs ~5 s at 1x); the integer max is linear.
+            -- is lexicographic (cnt, glen) while glen < 100000, matching
+            -- Spark's max(struct(cnt, glen)) exactly. DuckDB's
+            -- max(struct_pack(...)) over the multi-million-row gram stream
+            -- is superlinear (> 490 s at the 8x stress scale vs ~5 s at
+            -- 1x); the integer max is linear. glen clamps at 99999 on BOTH
+            -- engines (ADVICE r09): a pathological >=100k-char token would
+            -- otherwise carry into the cnt digits here while Spark's
+            -- struct max compared the true length — the clamp keeps the
+            -- encode lexicographic for ANY corpus.
             SELECT doc_id, n_chars, n,
-                   max(cnt * 100000 + len(gram)) AS top_enc,
+                   max(cnt * 100000 + least(len(gram), 99999)) AS top_enc,
                    sum(cnt) AS total_inst,
                    sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_inst
             FROM cnts GROUP BY ALL
@@ -1617,7 +1621,15 @@ def l43_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     stats = cnts.groupBy("doc_id", "n_chars", "n").agg(
-        F.max(F.struct(F.col("cnt").alias("cnt"), F.length("gram").alias("glen"))).alias("top"),
+        # glen clamps at 99999 to mirror the oracle's integer encode bound
+        # (cnt*100000 + glen stays lexicographic only while glen < 100000;
+        # a >=100k-char no-space token would silently mis-rank otherwise)
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                F.least(F.length("gram"), F.lit(99999)).alias("glen"),
+            )
+        ).alias("top"),
         F.sum("cnt").alias("total_inst"),
         F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup_inst"),
     )

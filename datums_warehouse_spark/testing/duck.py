@@ -20,9 +20,16 @@ def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # 80% of RAM and several blocking operators can't spill without a
     # temp_directory — an unbounded 8×/32× oracle (l43's 4-way gram UNNEST
     # was the first to hit it) OOM-kills the whole harness process instead
-    # of degrading to disk. 32 GB + spill keeps every stress oracle inside
-    # the machine while leaving room for the Spark JVM heap.
-    con.execute("SET memory_limit='32GB'")
+    # of degrading to disk. The cap is the SMALLER of 32 GB and ~70% of
+    # physical RAM (ADVICE r09: a flat 32 GB would RAISE the limit above
+    # DuckDB's 80%-of-RAM default on sub-40 GB hosts — the opposite of a
+    # bound); the spill dir keeps the Spark JVM heap safe either way.
+    try:
+        phys_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        cap_gb = max(1, min(32, int(phys_gb * 0.7)))
+    except (ValueError, OSError):  # platform without sysconf: keep 32GB cap
+        cap_gb = 32
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
     spill = os.path.join("/tmp", "dws_duck_spill")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
