@@ -875,6 +875,13 @@ def l24_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_K_MIN = 8       # floor on the cell count
 SEMDEDUP_CELL_TARGET = 250  # target vectors per cell: K = max(K_MIN, ⌊N/target⌋)
 SEMDEDUP_THETA = 0.40    # within-cell cosine ≥ θ ⇒ semantic duplicates
+# rows per stripe block in the pair kernels: caps the (block, dim)
+# product/cumsum temporaries at ~4 MB for dim=64 even in a hot cell,
+# without losing vectorization (one block for cells ≤ 4k). Chunking along
+# the pair axis never splits a single dot product, so the left-fold IEEE
+# order — and hence the oracle hash — is unchanged at any chunk size
+# (pinned by tests/test_round10_ops.py with a 3-row chunk).
+SEMDEDUP_PAIR_CHUNK = 4096
 
 # K adapts to corpus size (SemDeDup's own design point: K ∝ N, e.g.
 # K ≈ N/50k for LAION — here N/250 at test scale) so per-cell membership,
@@ -962,6 +969,16 @@ def _semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # d2 comparison then keeps the LOWEST cid on distance ties
         .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
     )
+    return _assign_to_seeds(emb, seeds)
+
+
+def _assign_to_seeds(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """The shared E-step fold: assign every ``emb`` vector to its nearest
+    seed from the 1-row broadcast ``seeds`` array (cid-sorted structs of
+    (cid, cemb, cc)), returning (vec_id, label, demb, norm, cid). Strict
+    ``<`` on d2 over the cid-ascending array reproduces the oracle's
+    ``ORDER BY d2, cid`` tie-break exactly; used by l41 (seeds from the
+    full corpus) and l47 (seeds from the standing index only)."""
     v = emb.select(
         "vec_id", "label", "embedding", ddot("embedding", "embedding").alias("vv")
     )
@@ -1006,7 +1023,17 @@ def _semdedup_pairs(cells: DataFrame) -> DataFrame:
     >580 s at 32× — allocation-bound, not FLOP-bound; this kernel runs the
     same 32× stage in seconds). Parallelism scales with K, and K ∝ N —
     the property a 1000-executor run needs; per-task memory is bounded by
-    CELL_TARGET² doubles.
+    CELL_TARGET² doubles for balanced cells. Skew caveat (ADVICE r09):
+    nearest-seed assignment can produce a hot cell far above CELL_TARGET —
+    ``applyInPandas`` delivers the whole group to one task regardless, so
+    the cell's Arrow batch (O(|cell|·dim)) is the irreducible footprint;
+    the kernel's own temporaries are therefore capped by computing each
+    row's stripe in SEMDEDUP_PAIR_CHUNK-row blocks, keeping peak memory
+    at |cell|·dim + O(chunk·dim) instead of 3×|cell|·dim. A cell so hot
+    that its input batch alone breaks an executor needs re-splitting
+    upstream (salt cid, dedup the sub-cells, then cross-check the salt
+    boundary) — out of scope here because K ∝ N keeps the EXPECTED cell at
+    CELL_TARGET.
 
     Cross-engine determinism: the dot product is ``np.cumsum`` over the
     elementwise product row — the IDENTICAL left-fold addition order as
@@ -1015,6 +1042,7 @@ def _semdedup_pairs(cells: DataFrame) -> DataFrame:
     cosine is bit-equal to the SQL oracle's; pairs are emitted with
     vec_a < vec_b from the cell sorted by vec_id."""
     theta = SEMDEDUP_THETA
+    chunk = SEMDEDUP_PAIR_CHUNK  # bound by value: executors lack the repo
 
     def cell_pairs(pdf):
         import numpy as np
@@ -1037,14 +1065,16 @@ def _semdedup_pairs(cells: DataFrame) -> DataFrame:
         norms = pdf["norm"].to_numpy()
         out_a, out_b, out_c = [], [], []
         for i in range(n - 1):
-            # exact left-fold dot: cumsum reproduces ((p0+p1)+p2)+…
-            dots = np.cumsum(E[i] * E[i + 1 :], axis=1)[:, -1]
-            cos = dots / (norms[i] * norms[i + 1 :])
-            m = cos >= theta
-            if m.any():
-                out_a.append(np.full(int(m.sum()), ids[i]))
-                out_b.append(ids[i + 1 :][m])
-                out_c.append(cos[m])
+            for j0 in range(i + 1, n, chunk):
+                j1 = min(j0 + chunk, n)
+                # exact left-fold dot: cumsum reproduces ((p0+p1)+p2)+…
+                dots = np.cumsum(E[i] * E[j0:j1], axis=1)[:, -1]
+                cos = dots / (norms[i] * norms[j0:j1])
+                m = cos >= theta
+                if m.any():
+                    out_a.append(np.full(int(m.sum()), ids[i]))
+                    out_b.append(ids[j0:j1][m])
+                    out_c.append(cos[m])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -1143,6 +1173,162 @@ def l41_semdedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(survives, 1)).alias("n_after"),
         )
     )
+
+
+# --- l47: incremental SemDeDup — new batch vs standing index ------------
+#
+# l40 proved the incremental shape for MinHash dedup; this is the same
+# shape for SEMANTIC dedup: assign an ingest batch to the EXISTING cell
+# centroids and dedup only new-vs-index within each cell — the production
+# semantic-dedup loop (full l41 self-dedup is the backfill job; day-to-day
+# you ask "is this new vector a semantic dup of anything indexed?").
+
+# Seed threshold over the standing index: seeds are the index vectors with
+# vec_id < S, S = max(12, ⌊3·N_idx/500⌋). Two of every three ids below S
+# are index members, so the seed count lands at ≈ N_idx/CELL_TARGET — the
+# same K ∝ N sizing as l41, derived from the INDEX alone (the batch must
+# not move the persisted centroids). Both engines spell the floor
+# identically (floor of a double division, l41's convention).
+SQL_L47_SEED_S = (
+    "(SELECT greatest(12, CAST(floor(count(*) * 3 / 500) AS BIGINT))"
+    " FROM embeddings WHERE vec_id % 3 != 0)"
+)
+
+
+@query(
+    "l47_incremental_semdedup",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding AS cemb,
+                   {SQL_DDOT.format(a="embedding", b="embedding")} AS cc
+            FROM embeddings
+            WHERE vec_id % 3 != 0 AND vec_id < {SQL_L47_SEED_S}
+        ),
+        v AS (
+            SELECT vec_id, embedding,
+                   {SQL_DDOT.format(a="embedding", b="embedding")} AS vv
+            FROM embeddings
+        ),
+        asg AS (
+            SELECT vec_id, cid, embedding, sqrt(vv) AS norm FROM (
+                SELECT v.vec_id, c.cid, v.embedding, v.vv,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY v.vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
+                                    + c.cc, c.cid
+                       ) AS rn
+                FROM v CROSS JOIN c
+            ) WHERE rn = 1
+        )
+        SELECT n.cid AS cid, n.vec_id AS doc_new, i.vec_id AS dup_of,
+               round({SQL_DDOT.format(a="n.embedding", b="i.embedding")}
+                     / (n.norm * i.norm), 6) AS cosine
+        FROM asg n JOIN asg i ON n.cid = i.cid
+        WHERE n.vec_id % 3 = 0 AND i.vec_id % 3 != 0
+          AND {SQL_DDOT.format(a="n.embedding", b="i.embedding")}
+              / (n.norm * i.norm) >= {SEMDEDUP_THETA}
+    """,
+    tags=("L47", "L41", "L40"),
+)
+def l47_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: detect which vectors of a NEW ingest batch
+    (fixture split: vec_id % 3 == 0, l40's convention) are semantic
+    duplicates (cosine ≥ θ) of the STANDING index (the other two thirds) —
+    without ever pairing the index against itself. Cells come from the
+    index alone: seeds are the index vectors below the S threshold
+    (≈ N_idx/CELL_TARGET seeds, the l41 sizing derived from a lazy 1-row
+    aggregate over the index — the ingest batch cannot move the persisted
+    centroids, which is what makes the loop incremental), and BOTH sides
+    are assigned to those cells by the shared broadcast-fold E-step.
+
+    Scale shape: in production the index's cell assignments are a
+    materialized table (write once at backfill, reuse every ingest — l40's
+    pattern), so an incremental run folds ONLY the new batch over the
+    broadcast seed array and shuffles it once on the cell key; the
+    new-vs-index kernel does |new_in_cell| × |idx_in_cell| work per cell —
+    cost O(batch · CELL_TARGET), independent of corpus size. This graded
+    plan recomputes the index assignment inline (same reason l40 rebuilds
+    the band index: the gate grades end-to-end), which adds the one
+    corpus-linear projection a backfill would amortize. Cross-engine
+    determinism: the E-step is l41's proven d2 = vv − 2·ab + cc IEEE tree
+    (cid tie-break); the kernel's cumsum dot reproduces the oracle's
+    list_dot_product left fold with the NEW vector as the left operand,
+    and the norm product multiplies new·index in the oracle's order."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = emb.filter(F.col("vec_id") % 3 != 0)
+    sthr = idx.agg(
+        F.greatest(
+            F.lit(12), F.floor(F.count(F.lit(1)) * 3 / 500)
+        ).alias("sthr")
+    )
+    seeds = (
+        idx.join(F.broadcast(sthr))
+        .filter(F.col("vec_id") < F.col("sthr"))
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+                ddot("embedding", "embedding").alias("cc"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("seeds"))
+    )
+    cells = _assign_to_seeds(emb, seeds)
+    theta = SEMDEDUP_THETA
+    chunk = SEMDEDUP_PAIR_CHUNK  # bound by value: executors lack the repo
+
+    def cell_cross_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "cid": pd.Series(dtype="int64"),
+                "doc_new": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy()
+        newm = ids % 3 == 0
+        if not newm.any() or newm.all():
+            return empty
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["demb"]])
+        norms = pdf["norm"].to_numpy()
+        En, Ei = E[newm], E[~newm]
+        idn, idi = ids[newm], ids[~newm]
+        nn, ni = norms[newm], norms[~newm]
+        out_n, out_i, out_c = [], [], []
+        for a in range(len(En)):
+            for j0 in range(0, len(Ei), chunk):
+                j1 = min(j0 + chunk, len(Ei))
+                # exact left-fold dot, new vector as the LEFT operand
+                dots = np.cumsum(En[a] * Ei[j0:j1], axis=1)[:, -1]
+                cos = dots / (nn[a] * ni[j0:j1])
+                m = cos >= theta
+                if m.any():
+                    out_n.append(np.full(int(m.sum()), idn[a]))
+                    out_i.append(idi[j0:j1][m])
+                    # raw cosine out: rounding happens JVM-side with
+                    # F.round (HALF_UP, DuckDB's convention) — np.round is
+                    # half-to-even and would diverge on exact .5 ulps
+                    out_c.append(cos[m])
+        if not out_n:
+            return empty
+        return pd.DataFrame(
+            {
+                "cid": np.full(
+                    sum(len(x) for x in out_n), int(pdf["cid"].iloc[0])
+                ),
+                "doc_new": np.concatenate(out_n),
+                "dup_of": np.concatenate(out_i),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return cells.groupBy("cid").applyInPandas(
+        cell_cross_pairs, "cid long, doc_new long, dup_of long, cos_raw double"
+    ).select("cid", "doc_new", "dup_of", F.round("cos_raw", 6).alias("cosine"))
 
 
 # --- l42: sign-random-projection LSH ANN (Charikar 2002, SimHash for

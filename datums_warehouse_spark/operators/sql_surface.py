@@ -25,6 +25,19 @@ from datums_warehouse_spark.sources.tables import load
 DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
 
 
+def _raise_recursion_limit(spark: SparkSession) -> None:
+    """Raise Spark 4's recursive-CTE depth cap for the SQL4/SQL3 family.
+
+    The default ``spark.sql.cteRecursionLevelLimit`` is 100 — fine for
+    today's fixtures (sql3 unrolls ~80 months; sql4's hierarchy is ~6
+    levels) but a silent runtime bomb for larger synthetic ranges (ADVICE
+    r09: an order history spanning >8 years fails sql3 at level 101). 10k
+    levels ≈ 830 years of months — far past any data while still a hard
+    stop against a broken non-terminating rewrite. DuckDB's recursive CTEs
+    have no fixed default depth limit, so only the Spark side needs it."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+
+
 def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
     tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").split("/")[-1])
     name = f"{table}_{tag}"
@@ -162,8 +175,13 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the recursion generates O(calendar months) rows — bounded
     by time, not data — while the corpus-sized work is one map-side-
     combinable hash aggregate; the spine-side join broadcasts. Recursion
-    depth ≈ months of history (safely under any iteration limit)."""
+    depth ≈ months of history — the current testdata spans ~80 months, but
+    Spark 4 caps recursive-CTE depth at spark.sql.cteRecursionLevelLimit
+    (default 100), so a >8-year synthetic range would fail at runtime
+    (ADVICE r09); the limit is raised explicitly here so the query's bound
+    is the data, not the default."""
     o = _view(spark, sf_dir, "orders")
+    _raise_recursion_limit(spark)
     return spark.sql(
         f"""
         WITH RECURSIVE spine AS (
@@ -186,4 +204,68 @@ def sql3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
         FROM spine LEFT JOIN per_month ON per_month.m = spine.m
         """
+    )
+
+
+# sql4's recursion body, shared by both engines up to the integer-division
+# spelling ({div}: Spark `DIV`, DuckDB `//`) and the view name. The
+# hierarchy is arithmetic — parent(k) = k div 8 — so the edge TABLE is
+# derived from data (a real parts-BOM edge list would drop in unchanged),
+# while termination is guaranteed by parent < child, not by key presence.
+SQL4_BODY = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT p_partkey AS child, p_partkey {div} 8 AS parent
+        FROM {part} WHERE p_partkey >= 8
+    ),
+    walk AS (
+        SELECT p_partkey AS node, p_partkey AS branch, CAST(0 AS BIGINT) AS depth
+        FROM {part} WHERE p_partkey < 8
+        UNION ALL
+        SELECT e.child, w.branch, w.depth + 1
+        FROM walk w JOIN edges e ON e.parent = w.node
+    )
+    SELECT w.branch, w.depth, count(*) AS n_parts,
+           {retail} AS retail_value
+    FROM walk w JOIN {part} p ON p.p_partkey = w.node
+    GROUP BY w.branch, w.depth
+"""
+
+
+@query(
+    "sql4_transitive_closure",
+    oracle=SQL4_BODY.format(
+        div="//", part="part", retail=DSUM.format(x="p.p_retailprice")
+    ),
+    tags=("SQL4", "SQL3"),
+)
+def sql4_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent recursive CTE (the BOM-explosion shape sql3's
+    calendar spine deliberately avoids): transitive reachability over a
+    parts hierarchy — parent(k) = k DIV 8 — walked TOP-DOWN from the root
+    branches, so the recursive member is a JOIN against an edge table and
+    the working set FANS OUT 8× per level instead of sql3's one-row spine.
+    Depth is driven by the data (⌊log₈ max(p_partkey)⌋ DIV-steps below
+    the anchors: max depth 2 at sf0.001, 3 at sf0.01, 4 at sf0.1 — the
+    output's depth column grows with sf), and so is the per-level row
+    count — exactly the recursion
+    profile of a real BOM/org-chart/ownership-graph closure. The output
+    rolls the closure up per (top-level branch, depth): subtree size and
+    decimal-exact retail value.
+
+    Scale shape: each recursion level is one shuffle join (walk level ×
+    edges) whose output is the next level — Spark executes the loop as
+    iterative UnionLoop steps over the same equi-join plan, so a
+    1000-executor run shards every level on the join key; nothing is
+    quadratic because each node enters the working set exactly once
+    (the hierarchy is a tree — for a DAG the closure would add a
+    DISTINCT per level). The final rollup is one hash aggregate over
+    N·1 closure rows; the level limit is raised explicitly
+    (_raise_recursion_limit) so depth is bounded by data, not a default.
+    Cross-engine determinism: integer DIV on BIGINT keys (no float
+    division — exact at any key magnitude) and the decimal-cast sum."""
+    p = _view(spark, sf_dir, "part")
+    _raise_recursion_limit(spark)
+    return spark.sql(
+        SQL4_BODY.format(div="DIV", part=p, retail=DSUM.format(x="p.p_retailprice"))
     )

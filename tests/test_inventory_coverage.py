@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
     + [f"x{i}" for i in range(1, 14)]       # time-series specials (incl. X12 cohort retention, X13 seasonality)
-    + [f"l{i}" for i in range(1, 47)]       # LLM pipeline (incl. L41 SemDeDup … L45 novelty, L46 fertility)
+    + [f"l{i}" for i in range(1, 48)]       # LLM pipeline (incl. L41 SemDeDup … L46 fertility, L47 incremental SemDeDup)
     + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )
 
@@ -124,17 +124,16 @@ def test_grading_rotation_is_closed():
 
 
 def test_sql_expressible_rows_have_oracles():
-    """Rows-only grading is reserved for genuinely non-SQL ops."""
-    allowed_rows_only = {
-        "a4_approx_count_distinct",  # HLL sketch ≠ DuckDB's
-        "l3_lsh_ann",                # MLlib model hashing
-        "o5_table_sample",           # sampling RNG is engine-specific
-        "o5_stratified_sample",      # sampling RNG is engine-specific
-        # t6_stateful_stream was promoted to a full oracle in r09 (integer-
-        # cents state + single-batch drain makes the update-mode output the
-        # batch group-by)
-    }
-    missing = {
-        name for name, q in all_queries().items() if q.oracle is None
-    } - allowed_rows_only
+    """Rows-only grading is reserved for genuinely non-SQL ops. The
+    allowlist lives in registry.ROWS_ONLY_BY_DESIGN (single source of
+    truth — scripts/graded_ledger.py prints the same set so a no_oracle
+    driver row reads as by-design, not as an error). t6_stateful_stream
+    left the set in r09 (integer-cents state + single-batch drain makes
+    the update-mode output the batch group-by)."""
+    from datums_warehouse_spark import registry
+
+    rows_only = {name for name, q in all_queries().items() if q.oracle is None}
+    missing = rows_only - set(registry.ROWS_ONLY_BY_DESIGN)
     assert not missing, f"queries lacking oracles without justification: {missing}"
+    stale = set(registry.ROWS_ONLY_BY_DESIGN) - rows_only
+    assert not stale, f"ROWS_ONLY_BY_DESIGN entries that now HAVE oracles: {stale}"

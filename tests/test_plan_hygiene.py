@@ -54,6 +54,7 @@ PANDAS_ALLOWED = {
     # left-fold sum order so the SQL oracle still hash-matches.
     "l41_semdedup_pairs",
     "l41_semdedup_materialize",
+    "l47_incremental_semdedup",  # the same kernel pattern, new-vs-index
 }
 
 PANDAS_NODES = (
