@@ -58,17 +58,26 @@ HEADLINE = [
 # Frozen cross-round comparison sets (ADVICE r08: membership, not position —
 # a future HEADLINE reorder or mid-list insertion must not silently change
 # which queries a named subtotal covers). LEGACY_12 is the r01–r06 set,
-# PREV_18 the BENCH_r07 set, PREV_20 the BENCH_r08 set.
+# PREV_18 the BENCH_r07 set, PREV_20 the BENCH_r08 set, PREV_21 the
+# BENCH_r09 set (the full r09 headline membership, frozen per VERDICT r09
+# task 8 so r10+ has an exact comparison set).
 LEGACY_12 = frozenset(HEADLINE[:12])
 PREV_18 = frozenset(HEADLINE[:18])
 PREV_20 = frozenset(HEADLINE[:20])
-assert len(LEGACY_12) == 12 and len(PREV_18) == 18 and len(PREV_20) == 20
+PREV_21 = frozenset(HEADLINE[:21])
+assert (
+    len(LEGACY_12) == 12
+    and len(PREV_18) == 18
+    and len(PREV_20) == 20
+    and len(PREV_21) == 21
+)
 
-# BENCH_r08's calibration_sec — the fixed-work CPU yardstick measured the
-# round the PREV_20 set was frozen. normalized_prev_total divides machine
-# speed out of the cross-round subtotal: (prev_20 subtotal) ×
-# (R08_CALIBRATION / this round's calibration).
-R08_CALIBRATION = 0.395
+# calibration_sec as measured the round each comparison set was frozen —
+# the fixed-work CPU yardstick. normalized_prev_total divides machine
+# speed out of the NEWEST frozen subtotal: (prev_21 subtotal) ×
+# (R09_CALIBRATION / this round's calibration).
+R08_CALIBRATION = 0.395  # BENCH_r08 (PREV_20's anchor)
+R09_CALIBRATION = 0.386  # BENCH_r09 (PREV_21's anchor)
 
 
 def main() -> None:
@@ -142,17 +151,22 @@ def main() -> None:
                 "prev_18_total": round(
                     sum(t for n, t in timings.items() if n in PREV_18), 3
                 ),
-                # the r08 comparison set (BENCH_r08's 20 queries), raw and
-                # calibration-normalized: the normalized number is what a
-                # judge should read for round-over-round regressions —
-                # machine-speed swings (r03→r04, r07→r08: uniform ~1.4×)
-                # divide out, code regressions don't
+                # the r08 comparison set (BENCH_r08's 20 queries), raw
                 "prev_20_total": round(
                     sum(t for n, t in timings.items() if n in PREV_20), 3
                 ),
+                # the r09 comparison set (BENCH_r09's 21 queries), raw and
+                # calibration-normalized: the normalized number is what a
+                # judge should read for round-over-round regressions —
+                # machine-speed swings (r03→r04, r07→r08: uniform ~1.4×)
+                # divide out, code regressions don't. Normalization anchors
+                # to the calibration of the round the set was frozen (r09).
+                "prev_21_total": round(
+                    sum(t for n, t in timings.items() if n in PREV_21), 3
+                ),
                 "normalized_prev_total": round(
-                    sum(t for n, t in timings.items() if n in PREV_20)
-                    * (R08_CALIBRATION / calibration),
+                    sum(t for n, t in timings.items() if n in PREV_21)
+                    * (R09_CALIBRATION / calibration),
                     3,
                 ),
                 "sf": sf,

@@ -56,6 +56,10 @@ QUERIES = [
     # round-9 session 3: the inverted-index novelty profile (hash-keyed
     # gram exchange — the l21/l33 shape family's newest member)
     "l45_ngram_novelty",
+    # round-10: the incremental SemDeDup loop — the K ∝ N parallelism
+    # claim for the applyInPandas kernel family, measured on the
+    # incremental (new-vs-index) variant as well as l41's self-dedup
+    "l47_incremental_semdedup",
 ]
 
 _CHILD = r"""

@@ -183,6 +183,27 @@ QUERIES = [
     # the embarrassingly-parallel floor).
     "l45_ngram_novelty",
     "l46_tokenizer_fertility",
+    # round-10 (VERDICT r09 task 2 — the round-9 session-3 keys that had
+    # no measured row): the SemDeDup materialization (rides the pair
+    # kernel + one accounting join — shares l41's direct-oracle
+    # feasibility at every multiplier), the ORC round-trip (eager events
+    # rewrite — the s17-class write-path row), grouped mode and the weekly
+    # seasonality matrix (events hash aggregates, output bounded by
+    # buckets/cells), and the recursive month spine (orders replicate but
+    # the DATE RANGE doesn't — the recursion stays O(months) while the
+    # per-month rollup grows M×, exactly the claim worth proving).
+    "l41_semdedup_materialize",
+    "s19_orc_roundtrip",
+    "a14_grouped_mode",
+    "x13_dow_hour_profile",
+    "sql3_recursive_cte",
+    # round-10 additions: the incremental SemDeDup loop (new-vs-index
+    # within index-derived cells — candidate work is output-bounded like
+    # l41, direct oracle feasible at every multiplier). sql4's recursion
+    # walks the PART hierarchy — a dimension the shared layout keeps 1×
+    # by design — so it gets its own part-scaled section (hierarchy_stress
+    # below) instead of a flat row here.
+    "l47_incremental_semdedup",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:
@@ -575,6 +596,91 @@ def skew_stress(spark, qs) -> list[str]:
     ]
 
 
+def build_part_scaled(spark, mult: int) -> str:
+    """Part-hierarchy layout for sql4: PART replicated M× with shifted
+    keys, every other table symlinked to base. The shared scaled layout
+    keeps dimensions 1× by design, which would pin sql4's recursion flat —
+    here the contiguous key replication (0..M·20k−1) makes the parent(k) =
+    k DIV 8 hierarchy ONE deeper tree: copy-1's key 20000 parents into
+    copy-0's 2500, so depth grows ⌈log₈(M·N)⌉ and every level's working
+    set fans out 8× — the recursion actually deepens with data, which is
+    the claim under test."""
+    out = os.path.join("/tmp", "dws_stress", f"part{mult}v1")
+    marker = os.path.join(out, "_built")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t == "part":
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+    p = load(spark, BASE_SF, "part")
+    stride = p.agg(F.max("p_partkey")).collect()[0][0] + 1
+    copies = [
+        p.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * stride))
+        for i in range(mult)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+    open(marker, "w").write("ok")
+    return out
+
+
+def hierarchy_stress(spark, qs, mults: list[int]) -> list[str]:
+    """Measure sql4's data-dependent recursion as the part hierarchy
+    deepens: time, closure size, and MAX RECURSION DEPTH at 1× and each
+    multiplier, oracle-verified on the same scaled files. The depth
+    column growing with M is the direct evidence the recursion is bounded
+    by data, not by a fixed unroll."""
+    q = qs["sql4_transitive_closure"]
+    rows = []
+    t_base = None
+    for m in [1, *mults]:
+        sf_dir = BASE_SF if m == 1 else build_part_scaled(spark, m)
+        t, _ = _median_time(q, spark, sf_dir)
+        pdf = q.fn(spark, sf_dir).toPandas()
+        con = connect(sf_dir)
+        ok = compare_frames("sql4_hier", pdf, con.execute(q.oracle).fetchdf())
+        con.close()
+        n_parts = int(pdf["n_parts"].sum())
+        depth = int(pdf["depth"].max())
+        t_base = t_base if t_base is not None else t
+        verdict = "ok" if ok else "FAIL"
+        rows.append(
+            f"| {m}× | {n_parts} | {depth} | {len(pdf)} | {t:.2f} "
+            f"| {t / t_base:.1f} | {verdict} |"
+        )
+        print(
+            f"  sql4 {m}×: {t:.2f}s depth {depth} closure {n_parts} "
+            f"oracle {verdict}",
+            flush=True,
+        )
+    return [
+        "",
+        "## Recursion stress — sql4 on a deepening part hierarchy",
+        "",
+        "sql4's recursion walks the PART table — a dimension the shared "
+        "scaled layout keeps 1× by design — so this section replicates "
+        "part alone (contiguous shifted keys, other tables symlinked): "
+        "the parent(k)=k DIV 8 hierarchy becomes one deeper tree whose "
+        "max depth grows ⌈log₈(M·20k)⌉ and whose per-level working set "
+        "fans out 8×. Depth growing with M is the direct evidence the "
+        "recursive CTE is bounded by data, not a fixed unroll; time "
+        "should track the closure size (each node enters the working set "
+        "exactly once). Oracle = DuckDB `WITH RECURSIVE` on the same "
+        "scaled files, full hash-compare.",
+        "",
+        "| layout | closure rows (nodes) | max depth | output rows | "
+        "sql4 s (median) | time ratio | oracle |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+        *rows,
+    ]
+
+
 def run_at(spark, qs, sf_dir: str, mult: int | None):
     """Time every stress query at ``sf_dir`` (one warm + one timed pass);
     hash-compare against DuckDB on the same files at scaled multipliers,
@@ -724,6 +830,8 @@ def main() -> None:
     ]
     print("skew stress (j13):", flush=True)
     out += skew_stress(spark, qs)
+    print("hierarchy stress (sql4):", flush=True)
+    out += hierarchy_stress(spark, qs, mults)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "STRESS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
