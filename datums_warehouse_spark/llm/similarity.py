@@ -897,6 +897,20 @@ SQL_SEMDEDUP_K = (
 # E-step + norm CTEs shared by both L41 oracles: assign every vector to its
 # nearest seed cell (the proven l23 IEEE tree: d2 = vv − 2·ab + cc, cid
 # tie-break), carrying the l2-norm for the cosine stage.
+#
+# Scalability form (the l43-oracle lesson, round 10): the original
+# row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) ran over the
+# N×K cross join CARRYING both embedding lists — at the 32× stress scale
+# that is a 102M-row window sort of ~550-byte rows (~56 GB through the
+# sorter), which crawled for >60 min where the 8× form took seconds. The
+# rewrite keeps the N×K stream NARROW (vec_id, cid, d2 — 24 bytes) and
+# replaces the window with two hash aggregates: md = min(d2) per vector,
+# then min(cid) among rows with d2 = md — EXACTLY the lexicographic
+# (d2, cid) minimum the window picked (d2 is the same IEEE value on both
+# paths, so the equality join is exact; no NaN can occur). Embeddings
+# re-join AFTER the argmin, touching N rows once. MATERIALIZED because
+# dists feeds both aggregates — without it DuckDB recomputes the cross
+# join twice.
 SQL_SEMDEDUP_ASG = f"""
     c AS (
         SELECT vec_id AS cid, embedding AS cemb,
@@ -908,16 +922,22 @@ SQL_SEMDEDUP_ASG = f"""
                {SQL_DDOT.format(a="embedding", b="embedding")} AS vv
         FROM embeddings
     ),
+    dists AS MATERIALIZED (
+        SELECT v.vec_id, c.cid,
+               v.vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
+               + c.cc AS d2
+        FROM v CROSS JOIN c
+    ),
+    best AS (SELECT vec_id, min(d2) AS md FROM dists GROUP BY vec_id),
+    pick AS (
+        SELECT dists.vec_id, min(dists.cid) AS cid
+        FROM dists JOIN best
+          ON best.vec_id = dists.vec_id AND dists.d2 = best.md
+        GROUP BY dists.vec_id
+    ),
     asg AS (
-        SELECT vec_id, label, cid, embedding, sqrt(vv) AS norm FROM (
-            SELECT v.vec_id, v.label, c.cid, v.embedding, v.vv,
-                   row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY v.vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
-                                + c.cc, c.cid
-                   ) AS rn
-            FROM v CROSS JOIN c
-        ) WHERE rn = 1
+        SELECT v.vec_id, v.label, pick.cid, v.embedding, sqrt(v.vv) AS norm
+        FROM v JOIN pick ON pick.vec_id = v.vec_id
     )
 """
 
@@ -1209,16 +1229,26 @@ SQL_L47_SEED_S = (
                    {SQL_DDOT.format(a="embedding", b="embedding")} AS vv
             FROM embeddings
         ),
+        -- narrow-stream argmin, not a window over the wide cross join:
+        -- the same two-hash-aggregate form as SQL_SEMDEDUP_ASG (exact
+        -- lexicographic (d2, cid) minimum), which scales linearly where
+        -- the window sort crawled at the 32x stress scale
+        dists AS MATERIALIZED (
+            SELECT v.vec_id, c.cid,
+                   v.vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
+                   + c.cc AS d2
+            FROM v CROSS JOIN c
+        ),
+        best AS (SELECT vec_id, min(d2) AS md FROM dists GROUP BY vec_id),
+        pick AS (
+            SELECT dists.vec_id, min(dists.cid) AS cid
+            FROM dists JOIN best
+              ON best.vec_id = dists.vec_id AND dists.d2 = best.md
+            GROUP BY dists.vec_id
+        ),
         asg AS (
-            SELECT vec_id, cid, embedding, sqrt(vv) AS norm FROM (
-                SELECT v.vec_id, c.cid, v.embedding, v.vv,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY v.vv - 2 * {SQL_DDOT.format(a="v.embedding", b="c.cemb")}
-                                    + c.cc, c.cid
-                       ) AS rn
-                FROM v CROSS JOIN c
-            ) WHERE rn = 1
+            SELECT v.vec_id, pick.cid, v.embedding, sqrt(v.vv) AS norm
+            FROM v JOIN pick ON pick.vec_id = v.vec_id
         )
         SELECT n.cid AS cid, n.vec_id AS doc_new, i.vec_id AS dup_of,
                round({SQL_DDOT.format(a="n.embedding", b="i.embedding")}
