@@ -53,6 +53,12 @@ HEADLINE = [
     # round-9 addition: SemDeDup embedding-cluster dedup (adaptive-K cells
     # → within-cell cosine pairs) — the new semantic-dedup pipeline stage
     "l41_semdedup_pairs",
+    # round-10 addition: the incremental SemDeDup loop (new-vs-index
+    # within index-derived cells) — the second applyInPandas-kernel
+    # pipeline stage, regression-visible alongside l41. (l45 stayed out:
+    # its stress row is flat — 0.9 ratio at 32× — per the VERDICT r09
+    # task-8 conditional.)
+    "l47_incremental_semdedup",
 ]
 
 # Frozen cross-round comparison sets (ADVICE r08: membership, not position —
