@@ -65,25 +65,41 @@ HEADLINE = [
 # a future HEADLINE reorder or mid-list insertion must not silently change
 # which queries a named subtotal covers). LEGACY_12 is the r01–r06 set,
 # PREV_18 the BENCH_r07 set, PREV_20 the BENCH_r08 set, PREV_21 the
-# BENCH_r09 set (the full r09 headline membership, frozen per VERDICT r09
-# task 8 so r10+ has an exact comparison set).
+# BENCH_r09 set, PREV_22 the BENCH_r10 set (the full r10 headline
+# membership, frozen per the same discipline in round 11).
 LEGACY_12 = frozenset(HEADLINE[:12])
 PREV_18 = frozenset(HEADLINE[:18])
 PREV_20 = frozenset(HEADLINE[:20])
 PREV_21 = frozenset(HEADLINE[:21])
+PREV_22 = frozenset(HEADLINE[:22])
 assert (
     len(LEGACY_12) == 12
     and len(PREV_18) == 18
     and len(PREV_20) == 20
     and len(PREV_21) == 21
+    and len(PREV_22) == 22
 )
 
 # calibration_sec as measured the round each comparison set was frozen —
 # the fixed-work CPU yardstick. normalized_prev_total divides machine
-# speed out of the NEWEST frozen subtotal: (prev_21 subtotal) ×
-# (R09_CALIBRATION / this round's calibration).
+# speed out of the prev_21 subtotal: (prev_21 subtotal) ×
+# (R09_CALIBRATION / this round's calibration). PREV_22 is published RAW
+# only: its freeze round's calibration (BENCH_r10: 0.301) came from a
+# contention-contaminated run — three idle same-code re-runs in round 11
+# measured prev_20 at 15.6–21.2 s (r10 published 22.1) with calibrations
+# 0.41–0.76, so 0.301 is not a usable anchor (GRADED.md r11). Round 12
+# should anchor PREV_22's normalization to BENCH_r11's calibration_sec /
+# calibration_min_sec pair instead.
 R08_CALIBRATION = 0.395  # BENCH_r08 (PREV_20's anchor)
 R09_CALIBRATION = 0.386  # BENCH_r09 (PREV_21's anchor)
+
+# A query whose (max−min)/median over its passes exceeds this within one
+# bench run has an untrustworthy median (VERDICT r10: l2_dedup_clusters
+# published 6.24 s ± 3.83 — pure sandbox contention); escalate its repeats
+# and, if the ratio persists, flag the whole run as noisy in the JSON so a
+# judge never has to guess whether a slow median is real.
+SPREAD_RATIO_LIMIT = 0.5
+ESCALATED_REPEATS = 9
 
 
 def main() -> None:
@@ -117,7 +133,8 @@ def main() -> None:
         return time.perf_counter() - t0
 
     _calib()  # warm
-    calibration = round(statistics.median(_calib() for _ in range(3)), 3)
+    calib_start = [_calib() for _ in range(3)]
+    calibration = round(statistics.median(calib_start), 3)
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # warm pass: JVM JIT, parquet footers, plan compilation — measured passes
@@ -131,13 +148,38 @@ def main() -> None:
     # something. All passes of one query run back-to-back so each median
     # sees the same cache/JIT state.
     runs: dict[str, list[float]] = {n: [] for n in names}
+
+    def _spread_ratio(ts: list[float]) -> float:
+        med = statistics.median(ts)
+        return (max(ts) - min(ts)) / med if med else 0.0
+
+    escalated: dict[str, int] = {}
     for name in names:
         for _ in range(noisy_repeats if name in noisy else repeats):
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).count()
             runs[name].append(time.perf_counter() - t0)
+        # noise guard (VERDICT r10 task 7): an unstable median gets more
+        # passes before publication — contention is transient, so extra
+        # samples usually pull the median back to the steady state
+        if repeats >= 3 and _spread_ratio(runs[name]) > SPREAD_RATIO_LIMIT:
+            while len(runs[name]) < ESCALATED_REPEATS:
+                t0 = time.perf_counter()
+                qs[name].fn(spark, sf_dir).count()
+                runs[name].append(time.perf_counter() - t0)
+            escalated[name] = len(runs[name])
 
+    # calibration re-measured AFTER the queries: machine speed drifts on
+    # minute timescales (the r11 idle re-runs saw 0.41→0.76 within one
+    # run), so a start-only sample can misattribute drift to the queries.
+    # The published calibration_min_sec is the best uncontended-CPU
+    # estimate (noise only ever ADDS time to fixed work).
+    calib_end = [_calib() for _ in range(3)]
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
+    timings_min = {n: round(min(ts), 3) for n, ts in runs.items()}
+    noisy_out = sorted(
+        n for n, ts in runs.items() if _spread_ratio(ts) > SPREAD_RATIO_LIMIT
+    )
     total = sum(timings.values())
 
     from datums_warehouse_spark.llm.dedup import release_caches
@@ -175,13 +217,36 @@ def main() -> None:
                     * (R09_CALIBRATION / calibration),
                     3,
                 ),
+                # the r10 comparison set, raw + contention-robust per-query
+                # min (see the PREV_22 anchor comment above)
+                "prev_22_total": round(
+                    sum(t for n, t in timings.items() if n in PREV_22), 3
+                ),
+                "prev_22_min_total": round(
+                    sum(t for n, t in timings_min.items() if n in PREV_22), 3
+                ),
+                "prev_21_min_total": round(
+                    sum(t for n, t in timings_min.items() if n in PREV_21), 3
+                ),
+                "value_min": round(sum(timings_min.values()), 3),
                 "sf": sf,
                 "calibration_sec": calibration,
+                "calibration_end_sec": round(statistics.median(calib_end), 3),
+                "calibration_min_sec": round(min(calib_start + calib_end), 3),
                 "repeats": repeats,
                 "repeats_noisy": {n: noisy_repeats for n in noisy if n in runs},
+                "repeats_escalated": escalated,
                 "spread": {
                     n: round(max(ts) - min(ts), 3) for n, ts in runs.items()
                 },
+                "spread_ratio": {
+                    n: round(_spread_ratio(ts), 3) for n, ts in runs.items()
+                },
+                # queries whose spread_ratio stayed above SPREAD_RATIO_LIMIT
+                # even after escalation — their medians are NOT trustworthy
+                # this run; a non-empty list marks the whole run as noisy
+                "noisy_queries": noisy_out,
+                "noisy": bool(noisy_out),
             }
         )
     )

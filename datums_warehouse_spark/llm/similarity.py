@@ -1050,10 +1050,13 @@ def _semdedup_pairs(cells: DataFrame) -> DataFrame:
     the kernel's own temporaries are therefore capped by computing each
     row's stripe in SEMDEDUP_PAIR_CHUNK-row blocks, keeping peak memory
     at |cell|·dim + O(chunk·dim) instead of 3×|cell|·dim. A cell so hot
-    that its input batch alone breaks an executor needs re-splitting
-    upstream (salt cid, dedup the sub-cells, then cross-check the salt
-    boundary) — out of scope here because K ∝ N keeps the EXPECTED cell at
-    CELL_TARGET.
+    that its input batch alone breaks an executor (or serializes the
+    stage) needs re-splitting upstream — IMPLEMENTED as
+    ``_semdedup_pairs_salted`` (l48): salt the cell into hash blocks,
+    dedup each block pair as its own task. This unsalted kernel stays the
+    default because K ∝ N keeps the EXPECTED cell at CELL_TARGET and the
+    split pays a window + S× replication overhead a balanced corpus
+    doesn't need (STRESS.md's hot-cell section measures the crossover).
 
     Cross-engine determinism: the dot product is ``np.cumsum`` over the
     elementwise product row — the IDENTICAL left-fold addition order as
@@ -1111,6 +1114,151 @@ def _semdedup_pairs(cells: DataFrame) -> DataFrame:
     )
 
 
+# l48's salt-split parameters: a cell is split into ⌈|cell|/SALT_TARGET⌉
+# blocks (capped at SALT_MAX so per-row replication — each row ships to
+# one group per peer block — stays bounded even for a pathological cell).
+# SALT_TARGET sits below the sf0.01 cell size (~250) ON PURPOSE: grading
+# then exercises both the diagonal and the cross-block kernel on every
+# cell, not just on a synthetic skew fixture.
+SEMDEDUP_SALT_TARGET = 64
+SEMDEDUP_SALT_MAX = 32
+
+
+def _semdedup_pairs_salted(
+    cells: DataFrame,
+    split_target: int = SEMDEDUP_SALT_TARGET,
+    salt_max: int = SEMDEDUP_SALT_MAX,
+) -> DataFrame:
+    """Within-cell cosine pairs ≥ θ with HOT-CELL SALT-SPLIT (VERDICT r10
+    task 3 — the escape hatch ``_semdedup_pairs``'s docstring sketched,
+    now implemented): nearest-seed assignment guarantees only the
+    EXPECTED cell size (K ∝ N ⇒ ~CELL_TARGET); a clustered corpus can
+    still pour a large fraction of all vectors into ONE cell, and
+    ``applyInPandas`` ships a whole group to one task — the stage then
+    runs at the speed of that straggler doing C(M,2) work alone.
+
+    The fix is block-partitioned all-pairs: each cell is cut into
+    S = min(⌈|cell|/split_target⌉, salt_max) hash blocks
+    (salt = xxhash64(vec_id) mod S — deterministic, no RNG), and every
+    unordered block pair {lo, hi} becomes its own task keyed
+    (cid, lo, hi): a diagonal task (s, s) emits the triangular pairs of
+    block s; a cross task (lo < hi) emits the lo×hi rectangle. Every
+    vector pair lands in EXACTLY one task (same block → its diagonal;
+    different blocks → their one cross task), so the output is the same
+    pair set as the unsalted kernel — identical oracle — while the hot
+    cell's quadratic work spreads over S + C(S,2) tasks (528 at the cap)
+    with per-task memory 2·(|cell|/S)·dim instead of |cell|·dim.
+
+    Costs, honestly: per-cell sizes come from a count() window over cid
+    (one extra shuffle + within-partition sort of the vector stream —
+    exact sizes can't be known before assignment), and each row is
+    REPLICATED S× into the group shuffle (bounded by salt_max). For a
+    balanced corpus that overhead buys nothing — the unsalted kernel is
+    the default (l41); this variant is the opt-in for corpora known to
+    cluster (STRESS.md's hot-cell section measures the crossover: the
+    one-task kernel serializes, the salted one tracks work/32).
+
+    Cross-engine determinism: per-pair cosine is the IDENTICAL
+    np.cumsum left-fold as the unsalted kernel — the elementwise product
+    is commutative, so block membership and rectangle orientation cannot
+    change a single bit; pairs are emitted (min_id, max_id) exactly as
+    the sorted triangular kernel does."""
+    theta = SEMDEDUP_THETA
+    chunk = SEMDEDUP_PAIR_CHUNK  # bound by value: executors lack the repo
+
+    w = Window.partitionBy("cid")
+    salted = (
+        cells.withColumn("n_cell", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_blocks",
+            F.least(
+                F.lit(salt_max),
+                F.ceil(F.col("n_cell") / F.lit(split_target)),
+            ).cast("int"),
+        )
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id"), F.col("n_blocks")).cast("int")
+        )
+        # one output row per peer block: the row's own block pairs it with
+        # every block (diagonal when peer = salt), keyed order-free (lo, hi)
+        .withColumn("peer", F.explode(F.sequence(F.lit(0), F.col("n_blocks") - 1)))
+        .select(
+            "cid", "vec_id", "demb", "norm", "salt",
+            F.least("salt", "peer").alias("lo"),
+            F.greatest("salt", "peer").alias("hi"),
+        )
+    )
+
+    def block_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cid, lo, hi = (int(k) for k in key)
+        empty = pd.DataFrame(
+            {
+                "cid": pd.Series(dtype="int64"),
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        out_a, out_b, out_c = [], [], []
+        if lo == hi:  # diagonal: triangular pairs within one block
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
+            n = len(pdf)
+            if n < 2:
+                return empty
+            E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["demb"]])
+            ids = pdf["vec_id"].to_numpy()
+            norms = pdf["norm"].to_numpy()
+            for i in range(n - 1):
+                for j0 in range(i + 1, n, chunk):
+                    j1 = min(j0 + chunk, n)
+                    # exact left-fold dot: cumsum reproduces ((p0+p1)+p2)+…
+                    dots = np.cumsum(E[i] * E[j0:j1], axis=1)[:, -1]
+                    cos = dots / (norms[i] * norms[j0:j1])
+                    m = cos >= theta
+                    if m.any():
+                        out_a.append(np.full(int(m.sum()), ids[i]))
+                        out_b.append(ids[j0:j1][m])
+                        out_c.append(cos[m])
+        else:  # cross: the lo-block × hi-block rectangle, min-id first
+            A = pdf[pdf["salt"] == lo]
+            B = pdf[pdf["salt"] == hi]
+            if len(A) and len(B):
+                EA = np.stack([np.asarray(v, dtype=np.float64) for v in A["demb"]])
+                EB = np.stack([np.asarray(v, dtype=np.float64) for v in B["demb"]])
+                ids_a = A["vec_id"].to_numpy()
+                ids_b = B["vec_id"].to_numpy()
+                na = A["norm"].to_numpy()
+                nb = B["norm"].to_numpy()
+                for i in range(len(A)):
+                    for j0 in range(0, len(B), chunk):
+                        j1 = min(j0 + chunk, len(B))
+                        dots = np.cumsum(EA[i] * EB[j0:j1], axis=1)[:, -1]
+                        cos = dots / (na[i] * nb[j0:j1])
+                        m = cos >= theta
+                        if m.any():
+                            sel = ids_b[j0:j1][m]
+                            out_a.append(np.minimum(ids_a[i], sel))
+                            out_b.append(np.maximum(ids_a[i], sel))
+                            out_c.append(cos[m])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "cid": np.full(sum(len(x) for x in out_a), cid),
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    return salted.groupBy("cid", "lo", "hi").applyInPandas(
+        block_pairs, "cid long, vec_a long, vec_b long, cos_raw double"
+    )
+
+
 @query(
     "l41_semdedup_pairs",
     oracle=f"""
@@ -1141,6 +1289,32 @@ def l41_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, the graded column rounds at 6dp.
     """
     return _semdedup_pairs(_semdedup_cells(spark, sf_dir)).select(
+        "cid", "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
+    )
+
+
+@query(
+    "l48_semdedup_salted",
+    oracle=f"""
+        WITH {SQL_SEMDEDUP_ASG},
+        {SQL_SEMDEDUP_PAIRS}
+        SELECT cid, vec_a, vec_b, round(cos_raw, 6) AS cosine
+        FROM sem_pairs
+    """,
+    tags=("L48", "L41"),
+)
+def l48_semdedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs via the HOT-CELL SALT-SPLIT kernel — semantically
+    identical to l41_semdedup_pairs (same oracle SQL, hash-graded against
+    the same self-join), executed as block-partitioned all-pairs so one
+    pathologically hot cell spreads over S + C(S,2) tasks instead of
+    serializing a stage (the skew case VERDICT r10 task 3 named; the
+    design notes live on ``_semdedup_pairs_salted``). SALT_TARGET = 64 <
+    the ~250-vector sf0.01 cell, so the driver's grading exercises BOTH
+    kernel branches (diagonal triangles and cross rectangles) on every
+    cell — the correctness evidence is for the split machinery itself,
+    not for a degenerate single-block run."""
+    return _semdedup_pairs_salted(_semdedup_cells(spark, sf_dir)).select(
         "cid", "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
     )
 

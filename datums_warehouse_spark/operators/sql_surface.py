@@ -34,7 +34,16 @@ def _raise_recursion_limit(spark: SparkSession) -> None:
     r09: an order history spanning >8 years fails sql3 at level 101). 10k
     levels ≈ 830 years of months — far past any data while still a hard
     stop against a broken non-terminating rewrite. DuckDB's recursive CTEs
-    have no fixed default depth limit, so only the Spark side needs it."""
+    have no fixed default depth limit, so only the Spark side needs it.
+
+    The override intentionally PERSISTS for the session (ADVICE r10 asked
+    for scoping or documentation — it must be the latter): query functions
+    are lazy, and the limit is enforced when the UnionLoop executes
+    (driver-side collect, long after this function returns), so a
+    save/restore around the spark.sql() call would restore the default
+    before the recursion ever runs. 10000 is still a hard termination
+    stop for every query in the session; non-recursive plans never read
+    the conf."""
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
 
 
@@ -268,4 +277,88 @@ def sql4_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raise_recursion_limit(spark)
     return spark.sql(
         SQL4_BODY.format(div="DIV", part=p, retail=DSUM.format(x="p.p_retailprice"))
+    )
+
+
+# sql5's recursion body, shared by both engines up to the integer-division
+# spelling. Unlike sql4's tree (one parent per node), the edge list here is
+# a GRADED DAG: rule A drops a part key's last base-8 digit (k div 8), rule
+# B drops its second-to-last digit ((k div 64)*8 + k%8). Both rules remove
+# exactly one base-8 digit, so every path from the roots to a node has the
+# SAME length (depth ≡ base-8 digit count − 1 — termination and a
+# deterministic depth column), while A∘A and B∘A converge on the same
+# grandparent — real diamonds, so a plain UNION ALL walk would multiply-
+# count every node by its path count (exponential in depth). The per-level
+# DISTINCT in the recursive member is therefore load-bearing: it collapses
+# the converging paths so each node enters the working set exactly once —
+# the recursive-plan class sql4's tree walk never exercises.
+SQL5_BODY = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT p_partkey AS child, p_partkey {div} 8 AS parent
+        FROM {part} WHERE p_partkey >= 8
+        UNION ALL
+        SELECT p_partkey AS child,
+               (p_partkey {div} 64) * 8 + (p_partkey % 8) AS parent
+        FROM {part} WHERE p_partkey >= 64
+    ),
+    walk AS (
+        SELECT p_partkey AS node, CAST(0 AS BIGINT) AS depth
+        FROM {part} WHERE p_partkey < 8
+        UNION ALL
+        SELECT DISTINCT e.child, w.depth + 1
+        FROM walk w JOIN edges e ON e.parent = w.node
+    ),
+    indegree AS (
+        -- DISTINCT parents: rules A and B coincide when a key's last two
+        -- base-8 digits are equal (k = ..bb), so edge-row count would
+        -- overstate true convergence
+        SELECT child, count(DISTINCT parent) AS indeg FROM edges GROUP BY child
+    )
+    SELECT w.depth, p.p_brand AS brand, count(*) AS n_nodes,
+           CAST(SUM(CASE WHEN d.indeg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converging,
+           {retail} AS retail_value
+    FROM walk w
+    JOIN {part} p ON p.p_partkey = w.node
+    LEFT JOIN indegree d ON d.child = w.node
+    GROUP BY w.depth, p.p_brand
+"""
+
+
+@query(
+    "sql5_dag_closure",
+    oracle=SQL5_BODY.format(
+        div="//", part="part", retail=DSUM.format(x="p.p_retailprice")
+    ),
+    tags=("SQL5", "SQL4"),
+)
+def sql5_dag_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over a DAG with converging paths (VERDICT r10
+    task 6) — the other half of real closure workloads (ownership graphs,
+    shared BOM components) that sql4's tree walk cannot represent. Each
+    part key ≥ 64 has TWO parents (drop last / drop second-to-last base-8
+    digit), creating diamonds: both edge rules remove one digit, so the
+    DAG is graded — every root-to-node path has length = digit count − 1 —
+    and the walk's per-level `SELECT DISTINCT` visits each node exactly
+    once (verified by the oracle: n_nodes per depth equals the digit-count
+    population, independent of path multiplicity, and n_converging > 0
+    proves the diamonds exist). Without the DISTINCT the working set would
+    grow as the PATH count — ~2^depth per node — instead of the node
+    count.
+
+    Scale shape: each recursion level is one shuffle equi-join (frontier ×
+    edges) followed by a hash DISTINCT on (node, depth) — both shard on
+    the join/group key across 1000 executors, and the DISTINCT caps the
+    next frontier at the true node population, so per-level cost is
+    O(|level| · avg fan-in), never O(paths). Depth is data-driven
+    (⌊log₈ max(p_partkey)⌋: grows with sf like sql4). The closing rollup
+    joins the closure back to part (shuffle equi-join on the key) and a
+    pre-aggregated indegree table, then one hash aggregate on
+    (depth, brand). Cross-engine determinism: integer DIV/modulo on BIGINT
+    keys and the decimal-cast retail sum."""
+    p = _view(spark, sf_dir, "part")
+    _raise_recursion_limit(spark)
+    return spark.sql(
+        SQL5_BODY.format(div="DIV", part=p, retail=DSUM.format(x="p.p_retailprice"))
     )

@@ -272,15 +272,10 @@ _GRADE_FRONT_R09 = (
     "s1_parquet_scan",
 )
 
-# Round-10 rotation, ACTIVE (VERDICT r09 task 1): the two never-graded
-# round-10 additions lead (closure rule), then the ENTIRE r05-era cohort —
-# all 29 keys whose latest driver row predates three rounds of NTZ/UTC and
-# determinism hardening (the r04 episode proved stale green rows can rot):
-# the nine keys displaced from the r09 front by its session-2/3 additions
-# plus the 20 r05 leftovers — filled to exactly GRADE_WINDOW with the
-# oldest r06 keys (comp1–18 + l5). l6/l7 and the remaining r06 cohort
-# rotate in r11 (pre-staged below).
-_GRADE_FRONT = (
+# Round-10 rotation, EXECUTED (CORRECTNESS_r10: 49 hash + 1 rows-only-by-
+# design, 0 fails): the two round-10 additions, the r05-era cohort, and
+# the oldest r06 fill. Kept for the grading ledger's history.
+_GRADE_FRONT_R10 = (
     # new round-10 operators (never graded): the data-dependent recursive
     # CTE (BOM-explosion closure) and the incremental SemDeDup loop
     "sql4_transitive_closure", "l47_incremental_semdedup",
@@ -310,13 +305,19 @@ _GRADE_FRONT = (
     "l5_word_count",
 )
 
-# Round-11 rotation, pre-staged so the ledger's closure planning covers
-# every key: l6/l7 (displaced from the r10 fill by the sql4/l47
-# additions), the remaining r06 cohort (text module tail, sinks, streaming
-# batch-equivalents, w9, u5, l9_multimodal), then the oldest r07 keys
-# (projection/filter family, the r01-refresh joins, samples, subquery
-# TPC-H shapes) to fill the window.
-_GRADE_FRONT_R11 = (
+# Round-11 rotation, ACTIVE (VERDICT r10 task 2): the never-graded
+# round-11 addition leads (closure rule), then l6/l7 (displaced from the
+# r10 fill by the sql4/l47 additions), the remaining r06 cohort (text
+# module tail, sinks, streaming batch-equivalents, w9, u5, l9_multimodal),
+# then the oldest r07 keys (projection/filter family, the r01-refresh
+# joins, samples, subquery TPC-H shapes) to fill the window. The sql5
+# insertion displaces comp22 — the least rot-sensitive tail key (pure
+# relational TPC-H shape, no timestamp or UDF dependence) — to the r12
+# head.
+_GRADE_FRONT = (
+    # new round-11 operators (never graded): the DAG-closure recursion and
+    # the hot-cell salt-split SemDeDup kernel
+    "sql5_dag_closure", "l48_semdedup_salted",
     # displaced from the r10 fill by the sql4/l47 additions
     "l6_tfidf", "l7_bigrams",
     # remaining r06-era (23)
@@ -339,7 +340,38 @@ _GRADE_FRONT_R11 = (
     "o5_table_sample", "o5_stratified_sample", "o6_zorder_layout",
     "o7_hash_sample",
     "comp19_min_cost_supplier", "comp20_important_parts",
+)
+
+# Round-12 rotation, pre-staged so the ledger's freshness planning covers
+# every key: comp21/comp22 (displaced from the r11 front by the sql5 and
+# l48 additions),
+# the 23 remaining r07-era keys — including l16_sequence_packing, which
+# ADVICE r10 flagged as having silently lost its re-grade slot when the
+# r10 flip dropped it from the pre-staged list — then the oldest r08-era
+# keys in registration order to fill the window.
+_GRADE_FRONT_R12 = (
+    # displaced from the r11 front by the sql5/l48 additions
     "comp21_supplier_breadth", "comp22_excess_quantity_suppliers",
+    # remaining r07-era (23)
+    "d6_arrow_udf", "f9_safe_funcs", "l16_sequence_packing",
+    "l20_repetition_filter", "l21_source_overlap", "l22_embedding_outliers",
+    "l23_kmeans_assign", "l24_kmeans_lloyd", "l25_dataset_split",
+    "l26_cross_split_leakage", "l27_token_budget_pick", "l28_dataset_card",
+    "l30_length_deciles", "l31_blocklist_scrub",
+    "s10_python_datasource", "s11_python_datasink", "s12_compaction",
+    "s13_vacuum", "s14_snapshot_diff",
+    "sql1_pricing_summary_full", "sql2_top_orders_per_segment",
+    "t11_stream_python_source", "t12_stream_static_join",
+    # oldest r08-era fill (25), registration order
+    "a8_candles_1h", "t1_candles_1d_tumbling", "x1_resample_1h_to_1d",
+    "a8_candles_vwap", "p8_table_profile",
+    "j8_range_join", "j10_self_join_funnel", "j14_null_safe_join",
+    "a1_pricing_summary", "a12_kmv_distinct", "a13_value_histogram",
+    "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
+    "w7_topk_per_group", "w8_sliding_distinct_users",
+    "u3_intersect", "u4_except", "u6_intersect_all",
+    "x7_rolling_corr", "x10_drawdown", "x11_twap", "x12_cohort_retention",
+    "d7_map_in_arrow",
 )
 
 

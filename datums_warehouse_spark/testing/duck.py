@@ -26,8 +26,11 @@ def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # bound); the spill dir keeps the Spark JVM heap safe either way.
     try:
         phys_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        if phys_gb <= 0:  # sysconf returning -1/0 means "unknown", not 0 RAM
+            raise ValueError("sysconf reported non-positive physical memory")
         cap_gb = max(1, min(32, int(phys_gb * 0.7)))
-    except (ValueError, OSError):  # platform without sysconf: keep 32GB cap
+    except (AttributeError, ValueError, OSError):
+        # platform without sysconf (or an unusable answer): keep the 32GB cap
         cap_gb = 32
     con.execute(f"SET memory_limit='{cap_gb}GB'")
     spill = os.path.join("/tmp", "dws_duck_spill")

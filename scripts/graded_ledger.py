@@ -23,6 +23,7 @@ def main() -> None:
     allq = list(registry.all_queries())
     seen: set[str] = set()
     green: set[str] = set()
+    rows_only: set[str] = set()
     for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         for k, v in json.load(open(f)).items():
             seen.add(k)
@@ -30,19 +31,28 @@ def main() -> None:
                 green.add(k)
             elif v.get("err") == "no_oracle" and k in registry.ROWS_ONLY_BY_DESIGN:
                 # the driver records an oracle-less key as err:"no_oracle" —
-                # for allowlisted keys that IS the green outcome (rows-only
-                # by design), not an error; count it and say so below
-                green.add(k)
+                # for allowlisted keys that IS the expected outcome (rows-only
+                # by design). Kept in a SEPARATE bucket from hash-verified
+                # green (ADVICE r10: a no_oracle row carries no value-hash
+                # signal; merging it into `green` overstates verification).
+                rows_only.add(k)
+    rows_only -= green  # a key hash-verified in ANY round counts as green
     never = [k for k in allq if k not in seen]
-    print(f"registered: {len(allq)}  ever graded: {len(seen)}  ever green: {len(green)}")
+    print(
+        f"registered: {len(allq)}  ever graded: {len(seen)}  "
+        f"ever hash/rows green: {len(green)}  "
+        f"rows-only by design: {len(rows_only)}"
+    )
     print("\n# rows-only(by design) — a driver row of err:'no_oracle' is the")
     print("# EXPECTED green outcome for these keys, not a failure:")
     for k, why in sorted(registry.ROWS_ONLY_BY_DESIGN.items()):
         print(f"#   {k}: {why}")
-    print("\n# ever green")
+    print("\n# ever green (hash- or rows-verified driver row)")
     print(", ".join(sorted(green)))
+    print("\n# rows-only by design (allowlisted no_oracle rows, never hash-verified)")
+    print(", ".join(sorted(rows_only)) or "(none)")
     print("\n# graded but never green")
-    print(", ".join(sorted(seen - green)) or "(none)")
+    print(", ".join(sorted(seen - green - rows_only)) or "(none)")
     print(f"\n# never graded ({len(never)}) — rotation candidates, registration order")
     print(", ".join(never) or "(none)")
     print("\n# current first-50 window")

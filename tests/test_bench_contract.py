@@ -44,6 +44,17 @@ def test_bench_emits_one_valid_json_line():
     assert 0 < rec["prev_18_total"] <= rec["prev_20_total"] <= rec["value"]
     assert rec["calibration_sec"] > 0
     assert rec["normalized_prev_total"] > 0
+    # noise-guard fields (VERDICT r10 task 7): stability must be
+    # machine-readable so a judge never has to guess whether a slow
+    # median is real
+    assert rec["calibration_min_sec"] > 0
+    assert rec["calibration_min_sec"] <= rec["calibration_sec"]
+    assert rec["calibration_end_sec"] > 0
+    assert set(rec["spread_ratio"]) == set(rec["queries"])
+    assert isinstance(rec["noisy"], bool)
+    assert isinstance(rec["noisy_queries"], list)
+    assert 0 < rec["prev_21_min_total"] <= rec["prev_21_total"]
+    assert 0 < rec["prev_22_min_total"] <= rec["prev_22_total"] <= rec["value"]
 
 
 def test_frozen_comparison_sets_match_headline_prefix():
@@ -56,6 +67,9 @@ def test_frozen_comparison_sets_match_headline_prefix():
     assert bench.LEGACY_12 == frozenset(bench.HEADLINE[:12])
     assert bench.PREV_18 == frozenset(bench.HEADLINE[:18])
     assert bench.PREV_20 == frozenset(bench.HEADLINE[:20])
+    assert bench.PREV_21 == frozenset(bench.HEADLINE[:21])
+    assert bench.PREV_22 == frozenset(bench.HEADLINE[:22])
+    assert bench.PREV_22 - bench.PREV_21 == {"l47_incremental_semdedup"}
     assert bench.PREV_20 == frozenset(
         {
             "a8_candles_1h", "x1_resample_1h_to_1d", "a1_pricing_summary",

@@ -55,6 +55,7 @@ PANDAS_ALLOWED = {
     "l41_semdedup_pairs",
     "l41_semdedup_materialize",
     "l47_incremental_semdedup",  # the same kernel pattern, new-vs-index
+    "l48_semdedup_salted",       # the same kernel, hot-cell salt-split
 }
 
 PANDAS_NODES = (
