@@ -1030,6 +1030,21 @@ def _assign_to_seeds(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
+def _kernel_shuffle_width(df: DataFrame) -> int:
+    """Explicit reduce-side width for the pair-kernel exchanges.
+
+    The kernel stages are CPU-dense but byte-light (a few hundred bytes
+    per vector), and AQE's partition coalescing is byte-based: it folded
+    the hot-cell stress layout's 8 s-of-CPU kernel stage into TWO
+    partitions (measured round 11 — 13.9 s wall; with an explicit
+    REPARTITION_BY_NUM exchange, which AQE never coalesces, the same
+    stage ran 2.7 s on 32 workers). 2× the cluster's core count is the
+    classic width: enough slack for uneven groups, no 200-empty-task
+    overhead at grading sizes. Plan-time only — reading
+    defaultParallelism runs no job."""
+    return 2 * df.sparkSession.sparkContext.defaultParallelism
+
+
 def _semdedup_pairs(cells: DataFrame) -> DataFrame:
     """Within-cell cosine pairs ≥ θ (raw cosine kept for downstream).
 
@@ -1109,8 +1124,16 @@ def _semdedup_pairs(cells: DataFrame) -> DataFrame:
             }
         )
 
-    return cells.groupBy("cid").applyInPandas(
-        cell_pairs, "cid long, vec_a long, vec_b long, cos_raw double"
+    # explicit-width exchange on the group key (the groupBy's own exchange
+    # elides — the child is already hash-partitioned on cid): AQE's
+    # byte-based coalescing must not serialize a CPU-dense stage
+    # (_kernel_shuffle_width's measured case)
+    return (
+        cells.repartition(_kernel_shuffle_width(cells), "cid")
+        .groupBy("cid")
+        .applyInPandas(
+            cell_pairs, "cid long, vec_a long, vec_b long, cos_raw double"
+        )
     )
 
 
@@ -1254,8 +1277,16 @@ def _semdedup_pairs_salted(
             }
         )
 
-    return salted.groupBy("cid", "lo", "hi").applyInPandas(
-        block_pairs, "cid long, vec_a long, vec_b long, cos_raw double"
+    # explicit-width exchange on the block key — the whole point is
+    # parallelism, so the one thing this stage must never suffer is AQE
+    # byte-coalescing gluing the 528 block tasks back into two partitions
+    # (measured: 13.9 s → 2.7 s on the hot-cell stress layout)
+    return (
+        salted.repartition(_kernel_shuffle_width(salted), "cid", "lo", "hi")
+        .groupBy("cid", "lo", "hi")
+        .applyInPandas(
+            block_pairs, "cid long, vec_a long, vec_b long, cos_raw double"
+        )
     )
 
 
@@ -1530,9 +1561,17 @@ def l47_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return cells.groupBy("cid").applyInPandas(
-        cell_cross_pairs, "cid long, doc_new long, dup_of long, cos_raw double"
-    ).select("cid", "doc_new", "dup_of", F.round("cos_raw", 6).alias("cosine"))
+    # explicit-width exchange on cid (see _kernel_shuffle_width): the
+    # new-vs-index kernel is the same CPU-dense/byte-light shape AQE's
+    # byte-based coalescing serialized on the l41 path
+    return (
+        cells.repartition(_kernel_shuffle_width(cells), "cid")
+        .groupBy("cid")
+        .applyInPandas(
+            cell_cross_pairs, "cid long, doc_new long, dup_of long, cos_raw double"
+        )
+        .select("cid", "doc_new", "dup_of", F.round("cos_raw", 6).alias("cosine"))
+    )
 
 
 # --- l42: sign-random-projection LSH ANN (Charikar 2002, SimHash for

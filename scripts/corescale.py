@@ -60,6 +60,11 @@ QUERIES = [
     # claim for the applyInPandas kernel family, measured on the
     # incremental (new-vs-index) variant as well as l41's self-dedup
     "l47_incremental_semdedup",
+    # round-11: the salt-split kernel — parallelism is its entire reason
+    # to exist, so its core curve belongs here (on the BALANCED 8× layout
+    # it should track l41 + the split overhead; the hot-cell win lives in
+    # STRESS.md's dedicated section)
+    "l48_semdedup_salted",
 ]
 
 _CHILD = r"""
