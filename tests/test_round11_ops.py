@@ -167,10 +167,7 @@ def test_kernel_stages_pin_their_exchange_width(spark, qs, sf_dir, name):
     layout (round 11, measured 13.9 s → 2.7 s with the fix). The fix is a
     REPARTITION_BY_NUM exchange, which AQE never coalesces — pin that the
     plan still carries it."""
-    plan = (
-        qs[name]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution()
-        .explainString("formatted")
-    )
+    from datums_warehouse_spark.testing.plans import formatted_plan
+
+    plan = formatted_plan(qs[name].fn(spark, sf_dir))
     assert "REPARTITION_BY_NUM" in plan, name
