@@ -97,8 +97,13 @@ R09_CALIBRATION = 0.386  # BENCH_r09 (PREV_21's anchor)
 # bench run has an untrustworthy median (VERDICT r10: l2_dedup_clusters
 # published 6.24 s ± 3.83 — pure sandbox contention); escalate its repeats
 # and, if the ratio persists, flag the whole run as noisy in the JSON so a
-# judge never has to guess whether a slow median is real.
+# judge never has to guess whether a slow median is real. The RUN-level
+# flag additionally requires the unstable median to clear an absolute
+# floor: a 0.3 s query at ±0.15 s of scheduler jitter trips the ratio on
+# every run of this sandbox while moving the totals by nothing — only an
+# unstable HEAVY query (the r10 case: 6.24 s) can distort a subtotal.
 SPREAD_RATIO_LIMIT = 0.5
+NOISY_MEDIAN_FLOOR_SEC = 0.5
 ESCALATED_REPEATS = 9
 
 
@@ -180,6 +185,7 @@ def main() -> None:
     noisy_out = sorted(
         n for n, ts in runs.items() if _spread_ratio(ts) > SPREAD_RATIO_LIMIT
     )
+    noisy_heavy = [n for n in noisy_out if timings[n] >= NOISY_MEDIAN_FLOOR_SEC]
     total = sum(timings.values())
 
     from datums_warehouse_spark.llm.dedup import release_caches
@@ -244,9 +250,11 @@ def main() -> None:
                 },
                 # queries whose spread_ratio stayed above SPREAD_RATIO_LIMIT
                 # even after escalation — their medians are NOT trustworthy
-                # this run; a non-empty list marks the whole run as noisy
+                # this run; the run-level flag fires only when such a query
+                # is HEAVY enough (median ≥ NOISY_MEDIAN_FLOOR_SEC) to
+                # distort a subtotal (sub-second jitter can't)
                 "noisy_queries": noisy_out,
-                "noisy": bool(noisy_out),
+                "noisy": bool(noisy_heavy),
             }
         )
     )
