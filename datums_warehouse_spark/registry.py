@@ -315,9 +315,9 @@ _GRADE_FRONT_R10 = (
 # relational TPC-H shape, no timestamp or UDF dependence) — to the r12
 # head.
 _GRADE_FRONT = (
-    # new round-11 operators (never graded): the DAG-closure recursion and
-    # the hot-cell salt-split SemDeDup kernel
-    "sql5_dag_closure", "l48_semdedup_salted",
+    # new round-11 operators (never graded): the DAG-closure recursion,
+    # the hot-cell salt-split SemDeDup kernel, and the vectorized E-step
+    "sql5_dag_closure", "l48_semdedup_salted", "l49_semdedup_fast_estep",
     # displaced from the r10 fill by the sql4/l47 additions
     "l6_tfidf", "l7_bigrams",
     # remaining r06-era (23)
@@ -339,19 +339,20 @@ _GRADE_FRONT = (
     "j13_interval_bucket_join", "j9b_asof_nearest", "a9b_unpivot",
     "o5_table_sample", "o5_stratified_sample", "o6_zorder_layout",
     "o7_hash_sample",
-    "comp19_min_cost_supplier", "comp20_important_parts",
+    "comp19_min_cost_supplier",
 )
 
 # Round-12 rotation, pre-staged so the ledger's freshness planning covers
-# every key: comp21/comp22 (displaced from the r11 front by the sql5 and
-# l48 additions),
+# every key: comp20–22 (displaced from the r11 front by the sql5, l48 and
+# l49 additions),
 # the 23 remaining r07-era keys — including l16_sequence_packing, which
 # ADVICE r10 flagged as having silently lost its re-grade slot when the
 # r10 flip dropped it from the pre-staged list — then the oldest r08-era
 # keys in registration order to fill the window.
 _GRADE_FRONT_R12 = (
-    # displaced from the r11 front by the sql5/l48 additions
-    "comp21_supplier_breadth", "comp22_excess_quantity_suppliers",
+    # displaced from the r11 front by the sql5/l48/l49 additions
+    "comp20_important_parts", "comp21_supplier_breadth",
+    "comp22_excess_quantity_suppliers",
     # remaining r07-era (23)
     "d6_arrow_udf", "f9_safe_funcs", "l16_sequence_packing",
     "l20_repetition_filter", "l21_source_overlap", "l22_embedding_outliers",
@@ -362,7 +363,7 @@ _GRADE_FRONT_R12 = (
     "s13_vacuum", "s14_snapshot_diff",
     "sql1_pricing_summary_full", "sql2_top_orders_per_segment",
     "t11_stream_python_source", "t12_stream_static_join",
-    # oldest r08-era fill (25), registration order
+    # oldest r08-era fill (24), registration order
     "a8_candles_1h", "t1_candles_1d_tumbling", "x1_resample_1h_to_1d",
     "a8_candles_vwap", "p8_table_profile",
     "j8_range_join", "j10_self_join_funnel", "j14_null_safe_join",
@@ -371,7 +372,6 @@ _GRADE_FRONT_R12 = (
     "w7_topk_per_group", "w8_sliding_distinct_users",
     "u3_intersect", "u4_except", "u6_intersect_all",
     "x7_rolling_corr", "x10_drawdown", "x11_twap", "x12_cohort_retention",
-    "d7_map_in_arrow",
 )
 
 

@@ -211,6 +211,11 @@ QUERIES = [
     # sql5's recursion walks PART like sql4 and gets its own part-scaled
     # DAG section (dag_stress below) instead of a flat row.
     "l48_semdedup_salted",
+    # round-11 session 2: the vectorized E-step variant — the row measures
+    # whether swapping the interpreted fold for the numpy mapInPandas
+    # kernel holds its advantage as K grows with the corpus (K = 64 at 8×,
+    # 256 at 32×).
+    "l49_semdedup_fast_estep",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:

@@ -24,7 +24,7 @@ INVENTORY = (
     + [f"f{i}" for i in range(1, 10)]       # scalar function families
     + [f"t{i}" for i in range(1, 15)]       # streaming (incl. T13 stream dedup, T14 outer join)
     + [f"x{i}" for i in range(1, 14)]       # time-series specials (incl. X12 cohort retention, X13 seasonality)
-    + [f"l{i}" for i in range(1, 49)]       # LLM pipeline (incl. L41 SemDeDup … L47 incremental SemDeDup, L48 salt-split kernel)
+    + [f"l{i}" for i in range(1, 50)]       # LLM pipeline (incl. L41 SemDeDup … L48 salt-split kernel, L49 vectorized E-step)
     + [f"d{i}" for i in range(1, 11)]       # UDF surface (incl. D9 iterator UDF, D10 table-arg UDTF)
 )
 

@@ -56,6 +56,7 @@ PANDAS_ALLOWED = {
     "l41_semdedup_materialize",
     "l47_incremental_semdedup",  # the same kernel pattern, new-vs-index
     "l48_semdedup_salted",       # the same kernel, hot-cell salt-split
+    "l49_semdedup_fast_estep",   # vectorized E-step + the same pair kernel
 }
 
 PANDAS_NODES = (

@@ -154,6 +154,48 @@ def test_l48_exercises_cross_blocks_at_graded_size(spark, sf_dir):
     assert n_blocks >= 2
 
 
+# --- l49 ---------------------------------------------------------------------
+
+
+def test_l49_equals_l41_bit_for_bit(spark, qs, sf_dir):
+    """The vectorized E-step must reproduce the interpreted fold exactly:
+    np.cumsum is the same left fold as aggregate(zip_with(...)), d2 keeps
+    the (vv − 2ab) + cc expression order, and argmin over the
+    cid-ascending seed axis is the fold's strict-< lowest-cid tie-break —
+    so the downstream pair set and cosines are identical to the last
+    bit."""
+    a = _sorted_pairs(qs["l41_semdedup_pairs"].fn(spark, sf_dir).toPandas())
+    b = _sorted_pairs(qs["l49_semdedup_fast_estep"].fn(spark, sf_dir).toPandas())
+    assert a.equals(b)
+
+
+def test_l49_cell_assignment_matches_fold(spark, sf_dir):
+    """Stronger than the pair-level check: the full (vec_id, cid, norm)
+    assignment frame from the numpy E-step equals the JVM fold's."""
+    from datums_warehouse_spark.llm.similarity import (
+        _assign_to_seeds_fast,
+        _semdedup_cells,
+        _semdedup_seeds,
+    )
+    from datums_warehouse_spark.sources.tables import load
+
+    cols = ["vec_id", "cid", "norm"]
+    fold = (
+        _semdedup_cells(spark, sf_dir)
+        .select(*cols)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    fast = (
+        _assign_to_seeds_fast(emb, _semdedup_seeds(emb))
+        .select(*cols)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert fold.equals(fast)
+
+
 # --- kernel exchange width ---------------------------------------------------
 
 
