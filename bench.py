@@ -59,6 +59,12 @@ HEADLINE = [
     # its stress row is flat — 0.9 ratio at 32× — per the VERDICT r09
     # task-8 conditional.)
     "l47_incremental_semdedup",
+    # round-12 additions: C4 cross-corpus line dedup (the new heavy text
+    # stage — token-window split + corpus hash count + reassembly) and
+    # the adaptive per-cell routed SemDeDup kernel (the family's new
+    # production default shape; its delta vs l41 is the routing overhead)
+    "l50_c4_line_dedup",
+    "l52_semdedup_adaptive",
 ]
 
 # Frozen cross-round comparison sets (ADVICE r08: membership, not position —
@@ -168,11 +174,16 @@ def main() -> None:
         # passes before publication — contention is transient, so extra
         # samples usually pull the median back to the steady state
         if repeats >= 3 and _spread_ratio(runs[name]) > SPREAD_RATIO_LIMIT:
+            before = len(runs[name])
             while len(runs[name]) < ESCALATED_REPEATS:
                 t0 = time.perf_counter()
                 qs[name].fn(spark, sf_dir).count()
                 runs[name].append(time.perf_counter() - t0)
-            escalated[name] = len(runs[name])
+            # ADVICE r11: only report a query as escalated when extra
+            # passes actually ran — a pre-declared noisy query already at
+            # ESCALATED_REPEATS would otherwise be mislabeled
+            if len(runs[name]) > before:
+                escalated[name] = len(runs[name])
 
     # calibration re-measured AFTER the queries: machine speed drifts on
     # minute timescales (the r11 idle re-runs saw 0.41→0.76 within one

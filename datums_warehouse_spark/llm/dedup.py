@@ -1259,3 +1259,111 @@ def l40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, sh, JACCARD_THRESHOLD).select(
         F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("dup_of"), "jaccard"
     )
+
+
+# --- L50: C4-style cross-corpus line dedup -----------------------------------
+#
+# C4 (Raffel et al. 2020, "Exploring the Limits of Transfer Learning…",
+# public) removes any LINE that occurs three or more times across the
+# whole corpus — the curation stage between whole-document exact dedup
+# (l1: one hash per doc) and sub-document gram-span detection (l33:
+# positional gram islands): boilerplate lines (nav bars, cookie banners,
+# license headers) repeat verbatim across unrelated documents and survive
+# both. The synthetic documents table has no newline characters, so the
+# fixture's deterministic "line" boundary is consecutive
+# C4_LINE_TOKENS-token windows (position // C4_LINE_TOKENS) — the
+# segmentation is a fixture stand-in; the operator (corpus-wide line
+# counting, threshold removal, ordered reassembly) is exactly C4's.
+
+C4_LINE_TOKENS = 8   # tokens per fixture "line"
+C4_DUP_THRESHOLD = 3  # C4's published rule: drop lines occurring ≥ 3×
+
+SQL_C4_LINES = f"""
+    tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source,
+               pos // {C4_LINE_TOKENS} AS line_no,
+               string_agg(tk, ' ' ORDER BY pos) AS line
+        FROM tok GROUP BY doc_id, source, pos // {C4_LINE_TOKENS}
+    ),
+    hashed AS (
+        SELECT doc_id, source, line_no, line,
+               {sql_hash48("line")} AS h
+        FROM lines
+    ),
+    linecnt AS (SELECT h, count(*) AS cnt FROM hashed GROUP BY h)
+"""
+
+
+@query(
+    "l50_c4_line_dedup",
+    oracle=f"""
+        WITH {SQL_C4_LINES}
+        SELECT m.doc_id AS doc_id,
+               m.source AS source,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE c.cnt >= {C4_DUP_THRESHOLD})
+                   AS n_removed,
+               coalesce(
+                   string_agg(m.line, ' ' ORDER BY m.line_no)
+                       FILTER (WHERE c.cnt < {C4_DUP_THRESHOLD}),
+                   '') AS kept_text
+        FROM hashed m JOIN linecnt c ON c.h = m.h
+        GROUP BY m.doc_id, m.source
+    """,
+    tags=("L50", "L1", "L33", "scale"),
+)
+def l50_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup: drop every line occurring ≥ 3
+    times corpus-wide, reassemble each document from its surviving lines
+    in original order, and report per-doc removal counts (the ``source``
+    column rides along so the per-source removed-lines audit is one
+    group-by away, l31's convention).
+
+    Scale shape: the line table is built WITHOUT a token-level explode —
+    one codegen projection turns each doc into its array of
+    C4_LINE_TOKENS-token lines (``transform`` over a ``sequence`` of
+    window indexes + ``slice``/``array_join``), so the exploded stream is
+    ~N_tokens/8 rows, each immediately reduced to a 48-bit line hash. The
+    corpus count is ONE hash group-by on that integer key (map-side
+    combinable; the shuffle carries (hash, count) — never line text), and
+    the removal decision joins back on the same key, where AQE broadcasts
+    the (small) ≥3× side on a balanced corpus — l29's lesson: measured
+    boilerplate fractions are tiny, don't force it. Reassembly sorts each
+    doc's surviving lines with ``array_sort`` on (line_no, …) structs
+    inside one hash aggregate — per-doc memory is the doc itself, no
+    window, no global sort. Cross-engine determinism: line membership is
+    exact text equality via the shared 48-bit md5 key
+    (functions/hashing.py — identical on both engines); reassembly order
+    is line_no, unique per doc; a fully-boilerplate doc keeps
+    kept_text = '' on both engines (array_join ≡ coalesced string_agg)."""
+    L = C4_LINE_TOKENS
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(L)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * L + 1, L), " "),
+    )
+    lines = docs.select(
+        "doc_id", "source", F.posexplode(lines_arr).alias("line_no", "line")
+    ).withColumn("h", hash48("line"))
+    cnt = lines.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    marked = lines.join(cnt, "h").withColumn(
+        "dup", F.col("cnt") >= C4_DUP_THRESHOLD
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("line_no", "dup", "line"))),
+        lambda s: ~s["dup"],
+    )
+    return marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("dup"), 1)).alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["line"]), " ").alias(
+            "kept_text"
+        ),
+    )

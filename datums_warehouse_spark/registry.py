@@ -305,16 +305,10 @@ _GRADE_FRONT_R10 = (
     "l5_word_count",
 )
 
-# Round-11 rotation, ACTIVE (VERDICT r10 task 2): the never-graded
-# round-11 addition leads (closure rule), then l6/l7 (displaced from the
-# r10 fill by the sql4/l47 additions), the remaining r06 cohort (text
-# module tail, sinks, streaming batch-equivalents, w9, u5, l9_multimodal),
-# then the oldest r07 keys (projection/filter family, the r01-refresh
-# joins, samples, subquery TPC-H shapes) to fill the window. The sql5
-# insertion displaces comp22 — the least rot-sensitive tail key (pure
-# relational TPC-H shape, no timestamp or UDF dependence) — to the r12
-# head.
-_GRADE_FRONT = (
+# Round-11 rotation (was ACTIVE in r11; kept for the ledger's history —
+# VERDICT r10 task 2): the never-graded round-11 additions led (closure
+# rule), then l6/l7, the remaining r06 cohort, then the oldest r07 keys.
+_GRADE_FRONT_R11 = (
     # new round-11 operators (never graded): the DAG-closure recursion,
     # the hot-cell salt-split SemDeDup kernel, and the vectorized E-step
     "sql5_dag_closure", "l48_semdedup_salted", "l49_semdedup_fast_estep",
@@ -342,14 +336,22 @@ _GRADE_FRONT = (
     "comp19_min_cost_supplier",
 )
 
-# Round-12 rotation, pre-staged so the ledger's freshness planning covers
-# every key: comp20–22 (displaced from the r11 front by the sql5, l48 and
-# l49 additions),
-# the 23 remaining r07-era keys — including l16_sequence_packing, which
-# ADVICE r10 flagged as having silently lost its re-grade slot when the
-# r10 flip dropped it from the pre-staged list — then the oldest r08-era
-# keys in registration order to fill the window.
-_GRADE_FRONT_R12 = (
+# Round-12 rotation, ACTIVE (VERDICT r11 task 2 executed the pre-staged
+# flip): the three never-graded round-12 additions lead (closure rule) —
+# l50 C4 line dedup, l51 PQ-ANN, l52 adaptive SemDeDup routing (VERDICT
+# r11 tasks 4/5/6); their insertion displaces the three least
+# rot-sensitive tail keys of the pre-staged cohort (x10/x11/x12, pure
+# arithmetic window shapes) to the r13 head — amendment noted in
+# GRADED.md. Then comp20–22 (displaced from the r11 front by the
+# sql5/l48/l49 additions), the 23 remaining r07-era keys — including
+# l16_sequence_packing, which ADVICE r10 flagged as having silently lost
+# its re-grade slot when the r10 flip dropped it from the pre-staged
+# list — then the oldest r08-era keys in registration order to fill the
+# window.
+_GRADE_FRONT = (
+    # new round-12 operators (never graded): C4 cross-corpus line dedup,
+    # product-quantization ADC ANN, per-cell adaptive SemDeDup routing
+    "l50_c4_line_dedup", "l51_pq_ann", "l52_semdedup_adaptive",
     # displaced from the r11 front by the sql5/l48/l49 additions
     "comp20_important_parts", "comp21_supplier_breadth",
     "comp22_excess_quantity_suppliers",
@@ -371,7 +373,39 @@ _GRADE_FRONT_R12 = (
     "w1_ranking", "w3_running_total", "w4_moving_avg", "w6_fill_forward",
     "w7_topk_per_group", "w8_sliding_distinct_users",
     "u3_intersect", "u4_except", "u6_intersect_all",
-    "x7_rolling_corr", "x10_drawdown", "x11_twap", "x12_cohort_retention",
+    "x7_rolling_corr",
+)
+
+# Round-13 rotation, pre-staged (closure rule: every key must sit in a
+# past artifact, the active front, or here): the three keys the
+# l50/l51/l52 insertions displaced from the r12 front, then the 26
+# remaining r08-era keys in registration order (D-surface demos, the
+# dedup/text tail l29–l40, lakehouse sinks s15–s18, the genuine
+# streaming runs t4/t7/t8/t10/t13/t14), then the oldest r09-era keys in
+# registration order to fill the window. a4_approx_count_distinct
+# (rows-only by design, hash-graded twin a12) is deliberately passed
+# over for the fill — re-grading it burns a slot on a weaker signal
+# (the r11 verdict's o5×2 lesson); it stays reachable via its r09 row.
+_GRADE_FRONT_R13 = (
+    # displaced from the r12 front by the l50/l51/l52 additions
+    "x10_drawdown", "x11_twap", "x12_cohort_retention",
+    # remaining r08-era (26), registration order
+    "d10_udtf_table_arg", "d7_map_in_arrow", "d8_cogroup_pandas",
+    "d9_iter_pandas_udf", "l29_dedup_materialize", "l2_dedup_clusters",
+    "l32_bigram_fluency", "l33_dup_passages", "l33_passage_scrub",
+    "l34_vocab_oov", "l35_curation_funnel", "l36_mixture_plan",
+    "l37_minhash_calibration", "l38_vocab_growth", "l39_perplexity_buckets",
+    "l40_incremental_dedup", "s15_schema_evolution", "s16_scd2_history",
+    "s17_dynamic_overwrite", "s18_time_travel", "t10_session_stream",
+    "t13_stream_dedup_watermark", "t14_stream_outer_join",
+    "t4_watermark_stream", "t7_stream_sink", "t8_stream_stream_join",
+    # oldest r09-era fill (21), registration order, skipping a4 (above)
+    "j5_semi_join", "j6_anti_join", "j7_cross_join",
+    "a2_global_cursor", "a3_count_distinct", "a5_rollup", "a5_cube",
+    "a6_having", "a7_distinct", "a9_pivot", "a10_stats",
+    "a11_collect_list", "a5_grouping_sets", "a1_salted_two_stage",
+    "a14_grouped_mode", "o1_global_sort", "o2_multikey_sort",
+    "o3_limit_offset", "o4_topk", "u1_union_all", "u2_union_distinct",
 )
 
 
@@ -427,6 +461,21 @@ def eager_names() -> set[str]:
     genuine streaming runs, iterative convergence loops) rather than only
     declaring a DAG. Laziness/plan contract suites exclude these."""
     return {n for n, q in all_queries().items() if "eager" in q.tags}
+
+
+def plan_safe_eager_names() -> set[str]:
+    """The ``eager`` sub-class whose construction runs only a BOUNDED
+    model-fit job (the SemDeDup family's 1-row seed collect feeding a
+    Spark broadcast variable — K·dim doubles, no corpus materialization,
+    no side effects). These are safe and cheap to CONSTRUCT, so the
+    plan-shape suites (plan hygiene, SCALECARD) include them — their
+    plans are bench-headline evidence — while the laziness suite still
+    rightly excludes them (construction does run a job)."""
+    return {
+        n
+        for n, q in all_queries().items()
+        if "eager" in q.tags and "plan_safe" in q.tags
+    }
 
 
 def query_map() -> dict[str, QueryFn]:

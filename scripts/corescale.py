@@ -65,6 +65,12 @@ QUERIES = [
     # it should track l41 + the split overhead; the hot-cell win lives in
     # STRESS.md's dedicated section)
     "l48_semdedup_salted",
+    # round-12: the adaptive per-cell routed kernel (production default
+    # shape — its curve should sit between l41's and l48's on the
+    # balanced layout) and the C4 line dedup (hash-agg + join-back —
+    # the l33 shape family's newest member)
+    "l52_semdedup_adaptive",
+    "l50_c4_line_dedup",
 ]
 
 _CHILD = r"""

@@ -214,8 +214,24 @@ QUERIES = [
     # round-11 session 2: the vectorized E-step variant — the row measures
     # whether swapping the interpreted fold for the numpy mapInPandas
     # kernel holds its advantage as K grows with the corpus (K = 64 at 8×,
-    # 256 at 32×).
+    # 256 at 32×). Since round 12 the kernel is the family default, so
+    # this row and l41's measure the same plan — kept as the continuity
+    # anchor for the r11 rows.
     "l49_semdedup_fast_estep",
+    # round-12 additions: C4 cross-corpus line dedup (line counts grow
+    # linearly; under the replication model every base line occurs M× its
+    # base count, so at M ≥ 3 the ≥3× rule removes everything — a fixture
+    # artifact the direct oracle reproduces exactly, so the row stays a
+    # full-value compare), PQ-ADC ANN (encode is corpus-linear, scoring
+    # is |Q|·N lookups; the DuckDB encode join is N·M·K rows — 2M at 32×,
+    # feasible), and the per-cell adaptive SemDeDup routing (K ∝ N keeps
+    # replicated cells at ~CELL_TARGET ≈ 250 > the 64 threshold, so at
+    # 8×/32× every cell routes to the split path and the row measures
+    # "adaptive tracks l48 when all-hot"; the mixed-regime evidence lives
+    # at grading scale and in semdedup_skew_stress).
+    "l50_c4_line_dedup",
+    "l51_pq_ann",
+    "l52_semdedup_adaptive",
 ]
 # Per-query oracle ceiling: above this multiplier the direct DuckDB
 # reconstruction of the LSH pipeline is infeasible as a routine (measured:
@@ -842,35 +858,43 @@ def semdedup_skew_stress(spark, qs) -> list[str]:
     (VERDICT r10 task 3)."""
     q41 = qs["l41_semdedup_pairs"]
     q48 = qs["l48_semdedup_salted"]
+    q52 = qs["l52_semdedup_adaptive"]
     work_base, max_base = _cell_pair_work(spark, BASE_SF)
     t41_base, rows_base = _median_time(q41, spark, BASE_SF)
     t48_base, _ = _median_time(q48, spark, BASE_SF)
+    t52_base, _ = _median_time(q52, spark, BASE_SF)
 
     sdir = build_hotcell()
     work_hot, max_hot = _cell_pair_work(spark, sdir)
     t41_hot, rows41 = _median_time(q41, spark, sdir)
     t48_hot, rows48 = _median_time(q48, spark, sdir)
+    t52_hot, rows52 = _median_time(q52, spark, sdir)
     con = connect(sdir)
     duck = con.execute(q41.oracle).fetchdf()
     con.close()
     ok41 = compare_frames("l41_hotcell", q41.fn(spark, sdir).toPandas(), duck)
     ok48 = compare_frames("l48_hotcell", q48.fn(spark, sdir).toPandas(), duck)
+    ok52 = compare_frames("l52_hotcell", q52.fn(spark, sdir).toPandas(), duck)
     v41 = "ok" if ok41 else "FAIL"
     v48 = "ok" if ok48 else "FAIL"
+    v52 = "ok" if ok52 else "FAIL"
     work_ratio = work_hot / work_base
     r41 = t41_hot / t41_base if t41_base else float("inf")
     r48 = t48_hot / t48_base if t48_base else float("inf")
     speedup = t41_hot / t48_hot if t48_hot else float("inf")
+    speedup52 = t41_hot / t52_hot if t52_hot else float("inf")
     print(
         f"  semdedup skew: l41 {t41_base:.2f}s→{t41_hot:.2f}s, "
-        f"l48 {t48_base:.2f}s→{t48_hot:.2f}s (pair work ×{work_ratio:.0f}, "
+        f"l48 {t48_base:.2f}s→{t48_hot:.2f}s, "
+        f"l52 {t52_base:.2f}s→{t52_hot:.2f}s (pair work ×{work_ratio:.0f}, "
         f"hot cell {max_hot}, split speedup {speedup:.1f}×, "
-        f"oracle {v41}/{v48})",
+        f"adaptive {speedup52:.1f}×, oracle {v41}/{v48}/{v52})",
         flush=True,
     )
     return [
         "",
-        "## Skew stress — SemDeDup hot cell (l41 unsalted vs l48 salt-split)",
+        "## Skew stress — SemDeDup hot cell (l41 unsalted vs l48 "
+        "salt-split vs l52 adaptive)",
         "",
         "Clustered-embeddings layout: the base sf0.1 corpus plus "
         f"{HOTCELL_COPIES}× remixed replicas pointing ~cos {HOTCELL_A} at "
@@ -886,15 +910,17 @@ def semdedup_skew_stress(spark, qs) -> list[str]:
         "median-of-3.",
         "",
         "| layout | vectors | max cell | Σ C(cell,2) | l41 s | l48 s | "
-        "l41/l48 | θ-pairs | oracle l41/l48 |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        "l52 s | l41/l48 | l41/l52 | θ-pairs | oracle l41/l48/l52 |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
         f"| balanced sf0.1 | 2000 | {max_base} | {work_base} | "
-        f"{t41_base:.2f} | {t48_base:.2f} | "
+        f"{t41_base:.2f} | {t48_base:.2f} | {t52_base:.2f} | "
         f"{(t41_base / t48_base if t48_base else float('inf')):.1f} | "
+        f"{(t41_base / t52_base if t52_base else float('inf')):.1f} | "
         f"{rows_base} | ok@32× (main table) |",
         f"| hot cell | {2000 * (1 + HOTCELL_COPIES)} | {max_hot} | "
-        f"{work_hot} | {t41_hot:.2f} | {t48_hot:.2f} | {speedup:.1f} | "
-        f"{rows48} | {v41}/{v48} |",
+        f"{work_hot} | {t41_hot:.2f} | {t48_hot:.2f} | {t52_hot:.2f} | "
+        f"{speedup:.1f} | {speedup52:.1f} | "
+        f"{rows48} | {v41}/{v48}/{v52} |",
         "",
         f"Verdict: pair work grew {work_ratio:.0f}× (nearly all of it in "
         f"one cell); the unsalted kernel's wall grew {r41:.1f}× — the "
@@ -902,8 +928,13 @@ def semdedup_skew_stress(spark, qs) -> list[str]:
         f"(split speedup {speedup:.1f}× on the hot layout), with both "
         "outputs hash-identical to the oracle on the same files. On the "
         "BALANCED layout the split buys nothing and costs its window + "
-        "replication overhead — which is why l41 stays the default and "
-        "l48 is the opt-in for corpora known to cluster.",
+        "replication overhead — which is why l41 stays the plain kernel, "
+        "l48 the always-split opt-in, and l52 (round 12) routes PER CELL: "
+        "on the hot layout it must track l48's wall (the hot cell "
+        "crosses the threshold and splits) while cool cells keep the "
+        "plain kernel's zero-replication path — the number to check is "
+        "the adaptive column sitting at ~the salted one on the hot "
+        "layout and between the two on the balanced one.",
     ]
 
 

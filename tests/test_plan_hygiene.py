@@ -21,12 +21,14 @@ from __future__ import annotations
 import pytest
 
 from datums_warehouse_spark import all_queries
-from datums_warehouse_spark.registry import eager_names
+from datums_warehouse_spark.registry import eager_names, plan_safe_eager_names
 from datums_warehouse_spark.testing.plans import formatted_plan
 
 # Construction executes work (sinks write, streams run, iterative loop) —
-# covered by the oracle/parity suites instead.
-CONSTRUCTION_RUNS = eager_names()
+# covered by the oracle/parity suites instead. The plan_safe eager
+# sub-class (SemDeDup's bounded 1-row seed collect) stays IN this sweep:
+# those plans are bench-headline evidence and construction is harmless.
+CONSTRUCTION_RUNS = eager_names() - plan_safe_eager_names()
 
 # The deliberate row-at-a-time UDF surface (SURVEY.md §2.12) — the point of
 # these queries IS the slow path, demonstrated and graded as such.
@@ -57,6 +59,7 @@ PANDAS_ALLOWED = {
     "l47_incremental_semdedup",  # the same kernel pattern, new-vs-index
     "l48_semdedup_salted",       # the same kernel, hot-cell salt-split
     "l49_semdedup_fast_estep",   # vectorized E-step + the same pair kernel
+    "l52_semdedup_adaptive",     # per-cell routed variant of the same kernel
 }
 
 PANDAS_NODES = (

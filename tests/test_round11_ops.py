@@ -171,22 +171,26 @@ def test_l49_equals_l41_bit_for_bit(spark, qs, sf_dir):
 
 def test_l49_cell_assignment_matches_fold(spark, sf_dir):
     """Stronger than the pair-level check: the full (vec_id, cid, norm)
-    assignment frame from the numpy E-step equals the JVM fold's."""
+    assignment frame from the numpy E-step equals the JVM fold's. Since
+    round 12 the kernel is the family default (``_semdedup_cells`` runs
+    it), so the fold side here calls ``_assign_to_seeds`` DIRECTLY —
+    this test is what keeps the retired fold a meaningful cross-engine
+    reference path rather than dead code."""
     from datums_warehouse_spark.llm.similarity import (
+        _assign_to_seeds,
         _assign_to_seeds_fast,
-        _semdedup_cells,
         _semdedup_seeds,
     )
     from datums_warehouse_spark.sources.tables import load
 
     cols = ["vec_id", "cid", "norm"]
+    emb = load(spark, sf_dir, "embeddings")
     fold = (
-        _semdedup_cells(spark, sf_dir)
+        _assign_to_seeds(emb, _semdedup_seeds(emb))
         .select(*cols)
         .toPandas()
         .sort_values("vec_id", ignore_index=True)
     )
-    emb = load(spark, sf_dir, "embeddings")
     fast = (
         _assign_to_seeds_fast(emb, _semdedup_seeds(emb))
         .select(*cols)
