@@ -74,7 +74,7 @@ QUERIES = [
 ]
 
 _CHILD = r"""
-import json, statistics, sys, time
+import json, sys, time
 sys.path.insert(0, {root!r})
 from pyspark.sql import SparkSession
 from datums_warehouse_spark import all_queries
@@ -103,7 +103,18 @@ for name in {queries!r}:
         t0 = time.perf_counter()
         fn(spark, {sf_dir!r}).count()
         ts.append(time.perf_counter() - t0)
-    out[name] = round(statistics.median(ts), 3)
+    # min-of-passes, not median (round 12): this sandbox's contention is
+    # one-sided — a pass is either clean or stalled (the r11 idle re-runs
+    # measured 6.5x per-query swings on UNCHANGED code, and two back-to-
+    # back r12 corescale runs disagreed 4x in BOTH directions on the
+    # Arrow-kernel family) — so min is the defensible plan-cost estimate,
+    # the same doctrine bench.py's value_min anchors adopted. The spread
+    # (max/min of the passes) is reported alongside so a contaminated
+    # leg is visible instead of silently averaged in.
+    out[name] = {{
+        "min": round(min(ts), 3),
+        "spread": round(max(ts) / min(ts), 2) if min(ts) else 0.0,
+    }}
 print("CORESCALE_JSON:" + json.dumps(out))
 """
 
@@ -140,7 +151,10 @@ def main() -> None:
     for c in CORES:
         print(f"local[{c}]...", flush=True)
         results[c] = run_at(c, sf_dir)
-        print(f"  total {sum(results[c].values()):.2f}s", flush=True)
+        print(
+            f"  total {sum(v['min'] for v in results[c].values()):.2f}s",
+            flush=True,
+        )
 
     base = CORES[0]
     lines = [
@@ -150,26 +164,38 @@ def main() -> None:
         "data (the 8× stress warehouse: 4.8M lineitem, 800k events, 40k "
         "documents) — the local-mode proxy for cluster parallelism. "
         "Shuffle partitions = cores in every run; each core count is a "
-        "fresh subprocess JVM; median-of-3 after a warm pass. Speedup = "
+        "fresh subprocess JVM; MIN-of-3 after a warm pass (the bench "
+        "value_min doctrine: this sandbox's contention is one-sided — the "
+        "r11 idle re-runs measured 6.5× per-query swings on unchanged "
+        "code — so the min is the plan's cost and the spread column is "
+        "the measurement's quality: spread = max/min of the three passes; "
+        "a spread ≫ 1 means that leg was contended and its min is an "
+        "upper bound too). Speedup = "
         f"local[{base}] time / local[N] time; a plan serialized behind a "
         "single-task stage would stay flat at 1.0. Sub-second queries "
         "remain partly scheduling-bound even at 8× — the heavy rows "
         "(LSH pairs, passage detection) carry the signal.",
         "",
         "| query | " + " | ".join(f"local[{c}] s" for c in CORES)
-        + " | " + " | ".join(f"×{c}" for c in CORES[1:]) + " |",
-        "|" + " --- |" * (1 + len(CORES) + len(CORES) - 1),
+        + " | " + " | ".join(f"×{c}" for c in CORES[1:])
+        + " | max spread |",
+        "|" + " --- |" * (1 + len(CORES) + len(CORES) - 1 + 1),
     ]
     for name in QUERIES:
-        cells = [name] + [f"{results[c][name]:.2f}" for c in CORES]
+        cells = [name] + [f"{results[c][name]['min']:.2f}" for c in CORES]
         for c in CORES[1:]:
-            t = results[c][name]
-            cells.append(f"{results[base][name] / t:.1f}" if t else "∞")
+            t = results[c][name]["min"]
+            cells.append(
+                f"{results[base][name]['min'] / t:.1f}" if t else "∞"
+            )
+        cells.append(
+            f"{max(results[c][name]['spread'] for c in CORES):.1f}"
+        )
         lines.append("| " + " | ".join(cells) + " |")
-    totals = {c: sum(results[c].values()) for c in CORES}
+    totals = {c: sum(v["min"] for v in results[c].values()) for c in CORES}
     cells = ["**total**"] + [f"{totals[c]:.2f}" for c in CORES] + [
         f"{totals[base] / totals[c]:.1f}" for c in CORES[1:]
-    ]
+    ] + ["—"]
     lines.append("| " + " | ".join(cells) + " |")
     lines += [
         "",
