@@ -34,7 +34,7 @@ from datums_warehouse_spark.functions.hashing import (
 from datums_warehouse_spark.functions.determinism import davg, sql_davg
 from datums_warehouse_spark.llm.splits import SQL_SPLITS, split_col
 from datums_warehouse_spark.registry import query
-from datums_warehouse_spark.sources.tables import load
+from datums_warehouse_spark.sources.tables import load, spread
 
 N_HASHES = 8
 N_BANDS = 4  # 4 bands × 2 rows
@@ -114,6 +114,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     hashed_safe = F.when(F.size(toks) >= n, hashed).otherwise(
         F.array().cast("array<long>")
     )
+    # NOT spread (tables.spread — round-12 measurement): every graded
+    # consumer caches this frame (_scoped_cache) and re-scans it up to 6×
+    # per query, so the md5 hashing runs once per session while each
+    # cached partition costs every consumer a task on every reuse. Block
+    # A/B at sf0.1: l2_minhash_lsh_pairs 0.86 s unspread vs 1.51 s at
+    # width 64 and 0.91 s at width 8 — the spread never pays here.
     return docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(hashed_safe)).alias("h")
     )
@@ -975,7 +981,12 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     W = PASSAGE_W
-    d = load(spark, sf_dir, "documents")
+    # spread (tables.spread): both consumers of g re-evaluate the W-gram
+    # md5 projection, and a single-row-group grading file would run each
+    # on ONE core; the scale-gated repartition parallelizes both branches
+    # (and the two branches' identical scan→repartition subtree collapses
+    # into one ReusedExchange). No-op on a well-split production input.
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = F.col("toks")
     npos = F.greatest(F.size(toks) - (W - 1), F.lit(0))
     gram = F.transform(
@@ -1342,6 +1353,8 @@ def l50_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is line_no, unique per doc; a fully-boilerplate doc keeps
     kept_text = '' on both engines (array_join ≡ coalesced string_agg)."""
     L = C4_LINE_TOKENS
+    # not spread: line splitting is plain token slicing, no hashing —
+    # block A/B at sf0.1 measured 0.21 s unspread vs 0.35 s spread
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(L)).cast("int")
@@ -1349,21 +1362,40 @@ def l50_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.array_join(F.slice(toks, i * L + 1, L), " "),
     )
-    lines = docs.select(
-        "doc_id", "source", F.posexplode(lines_arr).alias("line_no", "line")
-    ).withColumn("h", hash48("line"))
-    cnt = lines.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    marked = lines.join(cnt, "h").withColumn(
-        "dup", F.col("cnt") >= C4_DUP_THRESHOLD
+    # Round-12 shape (guide §8: decide with small rows, move big rows
+    # once — or here, zero times). The original plan shuffled LINE TEXT
+    # twice: once through the count join on h, once into the
+    # collect_list reassembly aggregate keyed by doc_id. But every
+    # decision depends only on the 48-bit line hash, and each doc's own
+    # row already holds its lines IN ORDER — so the reassembly needs no
+    # explode, no sort aggregate, and no text shuffle at all: explode
+    # hashes only (24 B/row), count them, semi-join the exploded hash
+    # stream against the ≥3× hash set (tiny ⇒ AQE broadcasts it),
+    # aggregate the removed line ordinals per doc (a few ints), and
+    # join THAT back to the intact doc row, where array ops cut the
+    # flagged lines out of the per-row line array. Same outputs bit for
+    # bit: dup ⟺ corpus count(h) ≥ 3 either way, and kept_text joins
+    # the surviving lines in line_no order, which ``transform`` has
+    # preserved since construction.
+    harr = F.transform(lines_arr, lambda ln: hash48(ln))
+    hashed = docs.select("doc_id", F.posexplode(harr).alias("line_no", "h"))
+    dup_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= C4_DUP_THRESHOLD)
+        .select("h")
     )
-    kept = F.filter(
-        F.array_sort(F.collect_list(F.struct("line_no", "dup", "line"))),
-        lambda s: ~s["dup"],
+    removed = (
+        hashed.join(dup_h, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("line_no").alias("removed"))
     )
-    return marked.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.count(F.when(F.col("dup"), 1)).alias("n_removed"),
-        F.array_join(F.transform(kept, lambda s: s["line"]), " ").alias(
-            "kept_text"
-        ),
+    gone = F.coalesce(F.col("removed"), F.array().cast("array<int>"))
+    kept = F.filter(lines_arr, lambda ln, i: ~F.array_contains(gone, i))
+    return docs.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        n_lines.cast("long").alias("n_lines"),
+        F.size(gone).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("kept_text"),
     )

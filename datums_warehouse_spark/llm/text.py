@@ -16,7 +16,7 @@ from datums_warehouse_spark.functions.hashing import hash48, sql_hash48
 from datums_warehouse_spark.llm.dedup import SQL_SHINGLES, shingles
 from datums_warehouse_spark.llm.splits import SQL_SPLITS, split_col
 from datums_warehouse_spark.registry import query
-from datums_warehouse_spark.sources.tables import load
+from datums_warehouse_spark.sources.tables import load, spread
 
 def TOKS():
     # built lazily: Column construction needs an active SparkContext
@@ -92,7 +92,13 @@ def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TOKS()).alias("word"))
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf, not from a second explode: tf already holds one
+    # row per (doc, word), so rows-per-word IS count(DISTINCT doc_id) —
+    # the tf exchange subtree is reused (ReusedExchange) instead of
+    # re-scanning and re-shuffling the full token stream for the
+    # countDistinct's own two-exchange plan (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df").cast("double") + 1))
     return (
@@ -583,8 +589,15 @@ def l21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous formulation's three evaluations of the trigram-distinct
     subtree and its gram⋈gram self-join. Never all-pairs on documents;
     linear in corpus volume plus |sources|² output rows.
+
+    Round 12: the scan is spread (tables.spread) before the length
+    filter — the filter itself tokenizes every row, so it belongs on the
+    parallel side of the scale-gated exchange; no parquet-pushable
+    predicate is lost (the condition is computed).
     """
-    d = load(spark, sf_dir, "documents").filter(F.size(TOKS()) >= 3)
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").filter(
+        F.size(TOKS()) >= 3
+    )
     toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.size(toks) - 3)
     trigram = F.transform(
@@ -720,6 +733,9 @@ def l27_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from datums_warehouse_spark.operators.sharded import range_sharded_cumsum
 
+    # not spread (tables.spread): measured — the tokenize+distinct
+    # projection is light enough that the scale-gated exchange costs more
+    # than the parallelism buys (block A/B: 0.66 s unspread vs 1.15 s)
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(TOKS())
     n_uniq = F.size(F.array_distinct(TOKS()))
