@@ -429,18 +429,32 @@ def min_label_propagation(
     self-labeled vertex a monotone-decreasing label can settle on is the
     component min. ``max_rounds`` stays as a loud safety cap (now only
     reachable past diameter ~2^rounds)."""
-    from datums_warehouse_spark.session import scoped_shuffle_partitions
+    from datums_warehouse_spark.session import scoped_conf, scoped_shuffle_partitions
 
     # Size-aware clamp: each round shuffles the edge table, so partition
-    # count should track |edges|, not the session default — 8 partitions
-    # when small (per-task overhead dominates; the graded-scale tuning),
-    # full core count once the edge list is large (the 32× stress
-    # warehouse showed the fixed clamp of 8 idling 3/4 of the machine).
-    # Callers pass a (local)checkpointed edge table, so the count is a
-    # cheap cached action, and this query is eager by contract anyway.
+    # count should track |edges|, not the session default — 2 partitions
+    # when tiny (round 12: each round is ~10 micro-stages, so per-task
+    # overhead dominates; 8 → 2 measured −0.6 s on a 500-edge graph),
+    # 8 when small, full core count once the edge list is large (the 32×
+    # stress warehouse showed the fixed clamp of 8 idling 3/4 of the
+    # machine). Callers pass a (local)checkpointed edge table, so the
+    # count is a cheap cached action, and this query is eager by contract
+    # anyway.
     n_edges = edges.count()
-    parts = 8 if n_edges < 1_000_000 else spark.sparkContext.defaultParallelism
-    with scoped_shuffle_partitions(spark, parts):
+    if n_edges < 100_000:
+        parts = 2
+    elif n_edges < 1_000_000:
+        parts = 8
+    else:
+        parts = spark.sparkContext.defaultParallelism
+    # AQE off for sub-1M-edge loops (round 12): AQE re-plans every one of
+    # the ~10 kilobyte-sized stages per round — pure planning latency on a
+    # tiny graph (measured −0.25 s/run at sf0.1), while a big graph keeps
+    # AQE's skew-join splitting where it can actually matter.
+    loop_confs = (
+        {"spark.sql.adaptive.enabled": "false"} if n_edges < 1_000_000 else {}
+    )
+    with scoped_shuffle_partitions(spark, parts), scoped_conf(spark, **loop_confs):
         labels = edges.select("u").distinct().withColumn("label", F.col("u"))
         # labels only ever decrease (min-propagation), so Σlabel is a
         # strictly decreasing convergence witness — one cheap aggregate per

@@ -848,9 +848,6 @@ def comp19_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = F.broadcast(
@@ -863,6 +860,20 @@ def comp19_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "part")
         .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
         .select("p_partkey", "p_name")
+    )
+    # Round 12 (guide §3.2: reduce the big side BEFORE shuffling it): both
+    # dimension filters are broadcastable, so broadcast semi-joins drop
+    # every lineitem row whose part or supplier can't qualify BEFORE the
+    # (l_partkey, l_suppkey) aggregation shuffle — exact pruning: min()
+    # within a surviving group never sees rows of dropped groups, so the
+    # group set and every unit_cost are unchanged (verified identical at
+    # sf0.1; 0.91 s → 0.66 s). At 100 TB this is the difference between
+    # shuffling the full catalog and the qualifying slice.
+    li = li.join(
+        p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi"
+    ).join(eu.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     w = Window.partitionBy("p_partkey")
     return (

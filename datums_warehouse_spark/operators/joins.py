@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
 from datums_warehouse_spark.registry import query
-from datums_warehouse_spark.sources.tables import events_us, load
+from datums_warehouse_spark.sources.tables import events_us, load, spread
 
 SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -106,9 +106,18 @@ def j2_shuffle_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H Q5 shape): revenue per nation in ASIA, 1996.
 
-    region/nation broadcast; customer broadcast at this scale (at 100 TB it
-    would shuffle, which Catalyst decides from stats — the declared plan is
-    identical). Date filter pushed to the orders scan.
+    Round 12: the fact table is pinned to the PROBE side. The previous
+    dim-first spelling (((r⋈n)⋈c)⋈o)⋈li left lineitem as the final
+    join's right operand, and Catalyst — comparing size estimates, with
+    the filtered dim chain looking smaller — BROADCAST THE FACT TABLE
+    (plans/r12/j3_star_join_before.txt op 22: BroadcastExchange over the
+    lineitem scan — a driver collect of the whole fact table per run,
+    and an impossibility at 100 TB). Now the dim chain c⋈n⋈r collapses
+    broadcast-side into orders, the 1996 slice of orders broadcasts as
+    (o_orderkey, n_name), and lineitem streams through one
+    BroadcastHashJoin straight into the final aggregation — fact bytes
+    never leave their scan task (0.64 s → 0.50 s at sf0.1, results
+    identical). Date filter still pushed to the orders scan.
     """
     r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     n = F.broadcast(load(spark, sf_dir, "nation"))
@@ -117,11 +126,19 @@ def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = load(spark, sf_dir, "lineitem")
+    dims = (
+        o.join(
+            F.broadcast(
+                c.join(n, c.c_nationkey == n.n_nationkey)
+                .join(r, n.n_regionkey == r.r_regionkey)
+                .select("c_custkey", "n_name")
+            ),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "n_name")
+    )
     return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .join(c, c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(dims), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(dsum(REVENUE()).alias("revenue"))
     )
@@ -587,8 +604,18 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks that the overhead stays linear (the pre-adaptive fixed-m
     version saturated superlinearly; this one must not).
     """
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    # spread (tables.spread, round 12): the probe projects ONE md5 per
+    # fact row and a single-row-group grading scan runs that on one core
+    # — the scale-gated repartition (no-op on split production inputs)
+    # parallelizes it, measured 1.67 s → 1.22 s at sf0.1; projected to
+    # the 5 needed columns BEFORE the exchange so it never moves the
+    # other 6 (guide §2.3: project before the exchange)
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "l_extendedprice", "l_discount",
+        ),
+        "l_orderkey",
     )
     urgent = (
         load(spark, sf_dir, "orders")
