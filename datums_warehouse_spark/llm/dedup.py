@@ -429,17 +429,24 @@ def min_label_propagation(
     self-labeled vertex a monotone-decreasing label can settle on is the
     component min. ``max_rounds`` stays as a loud safety cap (now only
     reachable past diameter ~2^rounds)."""
-    from datums_warehouse_spark.session import scoped_conf, scoped_shuffle_partitions
+    from datums_warehouse_spark.session import scoped_shuffle_partitions
 
     # Size-aware clamp: each round shuffles the edge table, so partition
     # count should track |edges|, not the session default — 2 partitions
-    # when tiny (round 12: each round is ~10 micro-stages, so per-task
-    # overhead dominates; 8 → 2 measured −0.6 s on a 500-edge graph),
-    # 8 when small, full core count once the edge list is large (the 32×
-    # stress warehouse showed the fixed clamp of 8 idling 3/4 of the
-    # machine). Callers pass a (local)checkpointed edge table, so the
-    # count is a cheap cached action, and this query is eager by contract
-    # anyway.
+    # when tiny (round 12: each round is ~10 kilobyte-sized stages, so
+    # per-task overhead dominates; 8 → 2 measured −0.2 s on the full
+    # query, 4-variant interleaved A/B), 8 when small, full core count
+    # once the edge list is large (the 32× stress warehouse showed the
+    # fixed clamp of 8 idling 3/4 of the machine). Callers pass a
+    # (local)checkpointed edge table, so the count is a cheap cached
+    # action, and this query is eager by contract anyway.
+    #
+    # Deliberately NOT turning AQE off inside the loop, although its
+    # per-micro-stage re-planning looks like pure overhead here: AQE's
+    # runtime conversion of the loop's tiny joins to broadcast is worth
+    # more than the planning latency costs — the same interleaved A/B
+    # measured AQE-off at +0.45 s (static plans keep sort-merge joins
+    # over checkpointed RDD leaves with unknown stats).
     n_edges = edges.count()
     if n_edges < 100_000:
         parts = 2
@@ -447,14 +454,7 @@ def min_label_propagation(
         parts = 8
     else:
         parts = spark.sparkContext.defaultParallelism
-    # AQE off for sub-1M-edge loops (round 12): AQE re-plans every one of
-    # the ~10 kilobyte-sized stages per round — pure planning latency on a
-    # tiny graph (measured −0.25 s/run at sf0.1), while a big graph keeps
-    # AQE's skew-join splitting where it can actually matter.
-    loop_confs = (
-        {"spark.sql.adaptive.enabled": "false"} if n_edges < 1_000_000 else {}
-    )
-    with scoped_shuffle_partitions(spark, parts), scoped_conf(spark, **loop_confs):
+    with scoped_shuffle_partitions(spark, parts):
         labels = edges.select("u").distinct().withColumn("label", F.col("u"))
         # labels only ever decrease (min-propagation), so Σlabel is a
         # strictly decreasing convergence witness — one cheap aggregate per
