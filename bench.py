@@ -131,6 +131,8 @@ def main() -> None:
         else repeats
     )
     spark = get_spark("bench")
+
+    from datums_warehouse_spark.llm.dedup import release_caches
     # Machine-speed calibration: fixed synthetic work (no I/O, no shuffle —
     # one codegen'd range-agg) whose wall time tracks the sandbox's CPU
     # speed that round. r03→r04 and r07→r08 both showed uniform ~1.4×
@@ -165,20 +167,30 @@ def main() -> None:
         return (max(ts) - min(ts)) / med if med else 0.0
 
     escalated: dict[str, int] = {}
+
+    def _timed_pass(name: str) -> None:
+        # Each timed pass pays its own shingle-cache build (VERDICT r12):
+        # the dedup family's scoped cache is a real within-query win (the
+        # frame is re-scanned up to 6× in ONE query), but letting it
+        # survive from the warm pass or a prior timed pass would exclude
+        # the md5 shingle build from every published number — a memoised
+        # intermediate keyed on the testdata path. Released OUTSIDE the
+        # timer: the unpersist is harness bookkeeping, not query work.
+        release_caches()
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).count()
+        runs[name].append(time.perf_counter() - t0)
+
     for name in names:
         for _ in range(noisy_repeats if name in noisy else repeats):
-            t0 = time.perf_counter()
-            qs[name].fn(spark, sf_dir).count()
-            runs[name].append(time.perf_counter() - t0)
+            _timed_pass(name)
         # noise guard (VERDICT r10 task 7): an unstable median gets more
         # passes before publication — contention is transient, so extra
         # samples usually pull the median back to the steady state
         if repeats >= 3 and _spread_ratio(runs[name]) > SPREAD_RATIO_LIMIT:
             before = len(runs[name])
             while len(runs[name]) < ESCALATED_REPEATS:
-                t0 = time.perf_counter()
-                qs[name].fn(spark, sf_dir).count()
-                runs[name].append(time.perf_counter() - t0)
+                _timed_pass(name)
             # ADVICE r11: only report a query as escalated when extra
             # passes actually ran — a pre-declared noisy query already at
             # ESCALATED_REPEATS would otherwise be mislabeled
@@ -198,8 +210,6 @@ def main() -> None:
     )
     noisy_heavy = [n for n in noisy_out if timings[n] >= NOISY_MEDIAN_FLOOR_SEC]
     total = sum(timings.values())
-
-    from datums_warehouse_spark.llm.dedup import release_caches
 
     release_caches()  # drop the last dedup shingle cache before reporting
     print(
@@ -247,6 +257,17 @@ def main() -> None:
                 ),
                 "value_min": round(sum(timings_min.values()), 3),
                 "sf": sf,
+                # effective execution context (VERDICT r12 task 2a): at
+                # sf0.1 every headline query is sub-second and overhead-
+                # bound, so a lower $SPARK_GRAFT_CPUS can leave timings
+                # flat — echoing the master the session REALLY ran with
+                # lets a reader distinguish "env var ignored" from
+                # "insensitive at this scale factor"
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+                ),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "calibration_sec": calibration,
                 "calibration_end_sec": round(statistics.median(calib_end), 3),
                 "calibration_min_sec": round(min(calib_start + calib_end), 3),
