@@ -117,3 +117,10 @@ def test_l6_df_leg_reuses_the_tf_aggregate(spark, sf_dir):
     and no 'count(distinct' over doc_id."""
     plan = formatted_plan(all_queries()["l6_tfidf"].fn(spark, sf_dir))
     assert "count(distinct" not in plan.lower()
+    # ADVICE r12: the docstring's second promise was unimplemented — a
+    # refactor re-exploding the token stream without countDistinct would
+    # have passed. Pin it: tf leg + its AQE-reusable copy, nothing more
+    # (each operator appears twice in a formatted plan: tree + details).
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 2
