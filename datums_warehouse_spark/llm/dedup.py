@@ -114,12 +114,21 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     hashed_safe = F.when(F.size(toks) >= n, hashed).otherwise(
         F.array().cast("array<long>")
     )
-    # NOT spread (tables.spread — round-12 measurement): every graded
-    # consumer caches this frame (_scoped_cache) and re-scans it up to 6×
-    # per query, so the md5 hashing runs once per session while each
-    # cached partition costs every consumer a task on every reuse. Block
-    # A/B at sf0.1: l2_minhash_lsh_pairs 0.86 s unspread vs 1.51 s at
-    # width 64 and 0.91 s at width 8 — the spread never pays here.
+    # Spread at HALF parallelism (round 13, re-measured CACHE-COLD): the
+    # r12 decline ("0.86 s unspread vs 0.91 at width 8") was taken under
+    # the old bench, whose scoped cache survived across timed passes, so
+    # no variant ever paid the md5 shingle build — only the per-partition
+    # reuse overhead showed. With the cache released per pass (the honest
+    # bench contract since r13) the build runs every pass, and on the
+    # single-row-group grading scan it serializes on ONE core. Five-pass
+    # cache-cold A/B of the full l2_minhash_lsh_pairs at sf0.1: unspread
+    # 1.32–2.09 s, width 4 → ~1.10, width 8 → ~0.98, width 16 (= cores/2)
+    # → 0.79–0.84, width 64 → ~1.04. Narrow beats wide because every
+    # cached partition still costs each of the ≤6 consumers a task per
+    # reuse (the part of the r12 measurement that stands). Scale-gated as
+    # always: multi-partition production inputs skip the repartition.
+    sc = docs.sparkSession.sparkContext
+    docs = spread(docs, "doc_id", width=max(2, sc.defaultParallelism // 2))
     return docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(hashed_safe)).alias("h")
     )
@@ -1403,7 +1412,13 @@ def l50_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = C4_LINE_TOKENS
     # not spread: line splitting is plain token slicing, no hashing —
     # block A/B at sf0.1 measured 0.21 s unspread vs 0.35 s spread
-    docs = load(spark, sf_dir, "documents")
+    #
+    # NULL-text guard (ADVICE r12): the oracle's unnest emits no rows for
+    # a NULL text, so such a doc is absent from its output; the r12
+    # docs-side left join would have RETAINED it with NULL n_lines.
+    # Latent today (the fixtures carry no NULL text) but pinned here so
+    # the row sets stay identical under any input.
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(toks) / F.lit(L)).cast("int")
     lines_arr = F.transform(
