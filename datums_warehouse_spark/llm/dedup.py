@@ -134,14 +134,22 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """One row per doc with N_HASHES minhash columns mh0..mh7."""
+def minhash_signatures(sh: DataFrame, with_size: bool = False) -> DataFrame:
+    """One row per doc with N_HASHES minhash columns mh0..mh7.
+
+    ``with_size`` adds the doc's shingle count as ``n`` — the Jaccard
+    verify stage's size table riding the SAME aggregation (round 13): a
+    separate ``sh.groupBy(doc_id).count()`` is one more full pass over
+    the shingle stream plus its own exchange, for counts this group-by
+    already sees."""
     aggs = [
         F.min(
             (F.lit(MINHASH_AS[i]) * F.col("h") + F.lit(MINHASH_BS[i])) % F.lit(MINHASH_P)
         ).alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -183,7 +191,9 @@ def sql_jaccard_verify(threshold: float) -> str:
     """
 
 
-def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def jaccard_verify(
+    cand: DataFrame, sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard over candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) ≥ θ.
 
     Touches candidate pairs only — the verify stage shared by the LSH and
@@ -194,8 +204,15 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
     join BEFORE the shingle-intersection join (the expensive stage, whose
     input is pairs × shingles). Exact pruning: the final result set is
     unchanged, only the candidate stream shrinks.
+
+    ``sizes`` (doc_id, n) lets a caller that already aggregated per-doc
+    shingle counts (minhash_signatures with_size=True) pass them in,
+    skipping this function's own full pass over ``sh``; identical by
+    construction — both count the rows of the same distinct-shingle
+    frame.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     ratio_ok = F.least("na", "nb").cast("double") >= threshold * F.greatest(
@@ -352,11 +369,13 @@ def l2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures(sh, with_size=True)
 
     cand = lsh_candidates(sigs)
 
-    return jaccard_verify(cand, sh, JACCARD_THRESHOLD)
+    return jaccard_verify(
+        cand, sh, JACCARD_THRESHOLD, sizes=sigs.select("doc_id", "n")
+    )
 
 
 # --- L2: near-dup clusters (connected components) ----------------------------
@@ -1312,7 +1331,7 @@ def l40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sh = _scoped_cache(shingles(docs), (id(spark), sf_dir))
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures(sh, with_size=True)
     bands = lsh_bands(sigs)
     new_b = bands.filter(F.col("doc_id") % 3 == 0).alias("n")
     idx_b = bands.filter(F.col("doc_id") % 3 != 0).alias("i")
@@ -1324,7 +1343,9 @@ def l40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b"))
         .distinct()
     )
-    return jaccard_verify(cand, sh, JACCARD_THRESHOLD).select(
+    return jaccard_verify(
+        cand, sh, JACCARD_THRESHOLD, sizes=sigs.select("doc_id", "n")
+    ).select(
         F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("dup_of"), "jaccard"
     )
 
