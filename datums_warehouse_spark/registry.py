@@ -336,19 +336,19 @@ _GRADE_FRONT_R11 = (
     "comp19_min_cost_supplier",
 )
 
-# Round-12 rotation, ACTIVE (VERDICT r11 task 2 executed the pre-staged
-# flip): the three never-graded round-12 additions lead (closure rule) —
-# l50 C4 line dedup, l51 PQ-ANN, l52 adaptive SemDeDup routing (VERDICT
-# r11 tasks 4/5/6); their insertion displaces the three least
-# rot-sensitive tail keys of the pre-staged cohort (x10/x11/x12, pure
-# arithmetic window shapes) to the r13 head — amendment noted in
-# GRADED.md. Then comp20–22 (displaced from the r11 front by the
-# sql5/l48/l49 additions), the 23 remaining r07-era keys — including
-# l16_sequence_packing, which ADVICE r10 flagged as having silently lost
-# its re-grade slot when the r10 flip dropped it from the pre-staged
-# list — then the oldest r08-era keys in registration order to fill the
-# window.
-_GRADE_FRONT = (
+# Round-12 rotation (was ACTIVE in r12; kept as the ledger of that
+# window — VERDICT r11 task 2 executed the pre-staged flip): the three
+# never-graded round-12 additions led (closure rule) — l50 C4 line
+# dedup, l51 PQ-ANN, l52 adaptive SemDeDup routing (VERDICT r11 tasks
+# 4/5/6); their insertion displaced the three least rot-sensitive tail
+# keys of the pre-staged cohort (x10/x11/x12, pure arithmetic window
+# shapes) to the r13 head — amendment noted in GRADED.md. Then comp20–22
+# (displaced from the r11 front by the sql5/l48/l49 additions), the 23
+# remaining r07-era keys — including l16_sequence_packing, which ADVICE
+# r10 flagged as having silently lost its re-grade slot when the r10
+# flip dropped it from the pre-staged list — then the oldest r08-era
+# keys in registration order to fill the window.
+_GRADE_FRONT_R12 = (
     # new round-12 operators (never graded): C4 cross-corpus line dedup,
     # product-quantization ADC ANN, per-cell adaptive SemDeDup routing
     "l50_c4_line_dedup", "l51_pq_ann", "l52_semdedup_adaptive",
@@ -376,17 +376,20 @@ _GRADE_FRONT = (
     "x7_rolling_corr",
 )
 
-# Round-13 rotation, pre-staged (closure rule: every key must sit in a
-# past artifact, the active front, or here): the three keys the
-# l50/l51/l52 insertions displaced from the r12 front, then the 26
-# remaining r08-era keys in registration order (D-surface demos, the
-# dedup/text tail l29–l40, lakehouse sinks s15–s18, the genuine
-# streaming runs t4/t7/t8/t10/t13/t14), then the oldest r09-era keys in
-# registration order to fill the window. a4_approx_count_distinct
-# (rows-only by design, hash-graded twin a12) is deliberately passed
-# over for the fill — re-grading it burns a slot on a weaker signal
-# (the r11 verdict's o5×2 lesson); it stays reachable via its r09 row.
-_GRADE_FRONT_R13 = (
+# Round-13 rotation, ACTIVE (VERDICT r12 task 8 executed the pre-staged
+# flip; every registered key has ≥1 green driver row by r12 — GRADED.md
+# — so from here rotation is pure RE-grading, oldest rows first): the
+# three keys the l50/l51/l52 insertions displaced from the r12 front,
+# then the 26 remaining r08-era keys in registration order (D-surface
+# demos, the dedup/text tail l29–l40 — which also re-grades this
+# round's touched queries l2_dedup_clusters/l33/l40 under the driver's
+# own gate — lakehouse sinks s15–s18, the genuine streaming runs
+# t4/t7/t8/t10/t13/t14), then the oldest r09-era keys in registration
+# order to fill the window. a4_approx_count_distinct (rows-only by
+# design, hash-graded twin a12) is deliberately passed over for the
+# fill — re-grading it burns a slot on a weaker signal (the r11
+# verdict's o5×2 lesson); it stays reachable via its r09 row.
+_GRADE_FRONT = (
     # displaced from the r12 front by the l50/l51/l52 additions
     "x10_drawdown", "x11_twap", "x12_cohort_retention",
     # remaining r08-era (26), registration order
