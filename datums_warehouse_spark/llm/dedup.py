@@ -483,16 +483,32 @@ def min_label_propagation(
     else:
         parts = spark.sparkContext.defaultParallelism
     with scoped_shuffle_partitions(spark, parts):
-        labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+        labels = None
         for _ in range(max_rounds):
-            neigh = edges.join(
-                labels.select(F.col("u").alias("v"), "label"), "v"
-            ).select("u", "label")
-            stepped = (
-                labels.unionByName(neigh)
-                .groupBy("u")
-                .agg(F.min("label").alias("label"))
-            )
+            if labels is None:
+                # Round 1 specialization (round 13): with self-id initial
+                # labels, neighbor propagation is min(u, min v over N(u))
+                # — computable straight off the edge table as ONE keyed
+                # aggregate, folding away both the labels-init distinct
+                # and the round-1 edges⋈labels join (3 shuffles → 1;
+                # groupBy(u) over the symmetric edges covers exactly the
+                # vertex set distinct(u) did). Loop A/B at sf0.1:
+                # 0.56–0.70 → 0.47–0.53 s, identical labels, chain tests
+                # unchanged.
+                stepped = (
+                    edges.select("u", F.least("u", "v").alias("label"))
+                    .groupBy("u")
+                    .agg(F.min("label").alias("label"))
+                )
+            else:
+                neigh = edges.join(
+                    labels.select(F.col("u").alias("v"), "label"), "v"
+                ).select("u", "label")
+                stepped = (
+                    labels.unionByName(neigh)
+                    .groupBy("u")
+                    .agg(F.min("label").alias("label"))
+                )
             # pointer jump: label ← label[label]. Every label value is a
             # vertex id that owns a row in ``stepped`` (labels start as
             # self-ids and min-propagation only moves existing ids), so
